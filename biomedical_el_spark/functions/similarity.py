@@ -1,0 +1,171 @@
+"""Vectorized similarity kernels: cosine, Jaro-Winkler, Jaccard.
+
+The reference scores mention↔entity pairs with a dense dot product
+(modeling_e2e_span.py:161-162,227-232; utils_e2e_span.py:422-424).  Our
+pairwise scorer reproduces that as batched numpy inside Arrow pandas UDFs
+(north_star: 'batched cosine/Jaro-Winkler hybrid scores'), with zero
+per-row Python: the Jaro-Winkler inner loop runs over *string positions*
+(≤64 iterations) with [batch, L] numpy ops, never over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------------ cosine
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Pure-SQL cosine over two array<float> columns (JVM-side; exactly
+    mirrored by DuckDB's list ops for oracle checks)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return dot / (na * nb)
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched cosine: stack Arrow list columns into [N, d] and einsum —
+    the Spark analogue of the reference's torch.bmm dot scorer
+    (modeling_e2e_span.py:227-232)."""
+    av = np.stack(a.to_numpy())
+    bv = np.stack(b.to_numpy())
+    dots = np.einsum("ij,ij->i", av, bv)
+    norms = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(norms > 0, dots / norms, 0.0)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Raw dot product — the reference's exact scoring function
+    (utils_e2e_span.py:422-424)."""
+    av = np.stack(a.to_numpy())
+    bv = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+
+# ------------------------------------------------------- jaro-winkler
+
+_JW_MAXLEN = 64  # truncation bound; blocking keys/titles are short
+_JW_PREFIX_WEIGHT = 0.1
+_JW_BOOST_THRESHOLD = 0.7
+
+
+def _to_char_matrix(s: pd.Series, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """Series[str] → (uint8 matrix [N, L] zero-padded, lengths [N]).
+    Byte-wise (ascii-exact); one big frombuffer, no per-row loop."""
+    enc = (
+        s.fillna("")
+        .astype(str)
+        .str.slice(0, L)
+        .str.encode("utf-8")
+        .str.slice(0, L)  # cap BYTE length too (multi-byte chars)
+    )
+    lens = np.fromiter((len(x) for x in enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    mat = np.zeros((len(enc), L), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    pos_in_row = np.arange(len(buf)) - np.repeat(starts, lens)
+    rows = np.repeat(np.arange(len(enc)), lens)
+    mat[rows, pos_in_row] = buf
+    return mat, lens
+
+
+def jaro_winkler_batch(sa: pd.Series, sb: pd.Series) -> np.ndarray:
+    """Standard Jaro-Winkler over a batch of string pairs.
+
+    Fully vectorized across the batch: the only Python loop is over the
+    ≤64 character positions (O(L) iterations of [N, L] numpy ops).
+    Matches DuckDB's jaro_winkler_similarity (boost threshold 0.7,
+    prefix weight 0.1, prefix cap 4) for oracle parity.
+    """
+    L = _JW_MAXLEN
+    A, la = _to_char_matrix(sa, L)
+    B, lb = _to_char_matrix(sb, L)
+    N = len(la)
+    if N == 0:
+        return np.empty(0)
+
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # match window
+    ii = np.arange(L)
+    # M[n,i,j] = chars equal & within window & in-bounds
+    M = (
+        (A[:, :, None] == B[:, None, :])
+        & (np.abs(ii[:, None] - ii[None, :])[None, :, :] <= w[:, None, None])
+        & (ii[None, :, None] < la[:, None, None])
+        & (ii[None, None, :] < lb[:, None, None])
+    )
+
+    avail = np.ones((N, L), dtype=bool)
+    a_match_j = np.full((N, L), -1, dtype=np.int64)
+    rows = np.arange(N)
+    for i in range(L):
+        cand = M[:, i, :] & avail
+        has = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        avail[rows[has], j[has]] = False
+        a_match_j[has, i] = j[has]
+
+    matched_a = a_match_j >= 0
+    m = matched_a.sum(axis=1)
+
+    # compact matched chars of a (in i order) and of b (in j order)
+    order_a = np.argsort(~matched_a, axis=1, kind="stable")
+    a_seq = np.take_along_axis(A, order_a, axis=1)
+    used_b = ~avail
+    order_b = np.argsort(~used_b, axis=1, kind="stable")
+    b_seq = np.take_along_axis(B, order_b, axis=1)
+    in_m = ii[None, :] < m[:, None]
+    t = ((a_seq != b_seq) & in_m).sum(axis=1) // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = np.where(
+            m > 0,
+            (
+                m / np.maximum(la, 1)
+                + m / np.maximum(lb, 1)
+                + (m - t) / np.maximum(m, 1)
+            )
+            / 3.0,
+            0.0,
+        )
+    # both-empty → 0.0 (DuckDB jaro_winkler_similarity convention)
+
+    # common prefix (≤4)
+    pref_eq = (A[:, :4] == B[:, :4]) & (ii[None, :4] < np.minimum(la, lb)[:, None])
+    p = np.cumprod(pref_eq, axis=1).sum(axis=1)
+    boosted = jaro + _JW_PREFIX_WEIGHT * p * (1.0 - jaro)
+    return np.where(jaro > _JW_BOOST_THRESHOLD, boosted, jaro)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(jaro_winkler_batch(a, b))
+
+
+# ------------------------------------------------------------- jaccard
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Set Jaccard over two array<string> columns, JVM-side
+    (array_intersect/array_union on distinct arrays)."""
+    ad, bd = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(ad, bd)).cast("double")
+    union = F.size(F.array_union(ad, bd)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)

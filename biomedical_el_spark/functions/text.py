@@ -1,0 +1,89 @@
+"""Text normalization, tokenization, and shingling as pure Spark SQL
+expressions (JVM-side, whole-stage-codegen friendly).
+
+Reference semantics re-expressed (citations into /root/reference):
+  - whitespace tokenize            tokenization_bert.py:109-115
+  - BasicTokenizer clean/lower     tokenization_bert.py:298-433 (the SQL-
+    expressible subset: control-char strip, punctuation isolation, lower)
+  - k-shingling of token streams   = the candidate-generation unit replacing
+    the reference's per-mention candidate lists (utils_e2e_span.py:340-461)
+
+The canonical `normalize_text` is used by EVERY stage so extracted text is
+byte-identical per url across stages (BASELINE.json input_hint invariant):
+normalize once at ingest, store, never re-derive downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Matches the reference BasicTokenizer's _clean_text + punctuation handling
+# to the extent expressible in SQL: collapse whitespace/control chars, lower.
+_WS = r"[\s ]+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical normalization: lower, strip control chars, collapse ws.
+
+    Mirrors BasicTokenizer semantics (tokenization_bert.py:298-340) minus
+    accent stripping (see `strip_accents_udf` in similarity.py for the NFD
+    path, only used when configured — default pipeline keeps bytes stable).
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    c = F.regexp_replace(c, _WS, " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (tokenization_bert.py:109-115) →
+    array<string>.  Empty strings removed."""
+    return F.filter(F.split(F.trim(col), _WS), lambda t: t != F.lit(""))
+
+
+def word_tokens(col: Column) -> Column:
+    """BPE-ish word/punct tokenization: words, numbers, or single punct
+    marks (BasicTokenizer punctuation isolation,
+    tokenization_bert.py:398-433) — JVM-side regexp_extract_all."""
+    return F.regexp_extract_all(col, F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """k-shingles over a token array → array<string> of space-joined
+    k-grams.  Pure higher-order functions: sequence + transform + slice.
+    This is the blocking unit (reference candidate generation,
+    utils_e2e_span.py:417-426 brute-force → our LSH over shingles)."""
+    n = F.size(tok)
+    return F.when(n < k, F.array(F.concat_ws(" ", tok))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
+        )
+    )
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character n-grams of a string → array<string> (used by the Jaccard
+    scorer and the hash-projection embedder's SQL-side variant)."""
+    ln = F.length(col)
+    return F.when(ln < n, F.array(col)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: F.substring(col, i, n),
+        )
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Token count — whitespace tokens (text-analysis op)."""
+    return F.size(tokens(col))
+
+
+def stopword_ratio(tok: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords — quality-scoring feature."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.when(F.size(tok) == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
+        / F.size(tok).cast("double")
+    )

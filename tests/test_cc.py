@@ -1,0 +1,49 @@
+"""Connected components on known graphs."""
+
+from pyspark.sql import functions as F
+
+from biomedical_el_spark.operators.cc import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "url_a string, url_b string")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_two_components(spark):
+    comp = _cc(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["a"] != comp["x"]
+
+
+def test_long_chain(spark):
+    # chain of 40 nodes — worst case for naive propagation; large/small star
+    # must converge in O(log n) rounds within the max_iter budget
+    nodes = [f"n{i:03d}" for i in range(40)]
+    comp = _cc(spark, list(zip(nodes, nodes[1:])))
+    assert set(comp.values()) == {"n000"}
+    assert len(comp) == 40
+
+
+def test_cycle_and_duplicate_edges(spark):
+    comp = _cc(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "b"), ("b", "a")])
+    assert set(comp.values()) == {"a"}
+
+
+def test_transitivity_invariant(spark, pages):
+    """Cluster transitivity: if (a,b) and (b,c) are links then a,b,c share
+    a component."""
+    from biomedical_el_spark.plans.linkage import run_linkage
+
+    out = run_linkage(spark, pages)
+    links = out["links"]
+    comp = out["clusters"]
+    c1 = comp.select(F.col("node").alias("url_a"), F.col("component").alias("ca"))
+    c2 = comp.select(F.col("node").alias("url_b"), F.col("component").alias("cb"))
+    joined = links.join(c1, "url_a").join(c2, "url_b")
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+    # every page appears exactly once
+    assert comp.count() == pages.count()
+    assert comp.select("node").distinct().count() == pages.count()

@@ -1,0 +1,67 @@
+"""End-to-end flagship pipeline: the north metric + invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_el_spark import metrics as M
+from biomedical_el_spark.datagen.pages import generate_pages, gold_pairs
+from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
+from biomedical_el_spark.sources.pages import verify_text_invariant
+
+
+@pytest.fixture(scope="module")
+def result(spark, pages):
+    return run_linkage(spark, pages)
+
+
+def _cluster_pairs(clusters):
+    c1 = clusters.select(F.col("node").alias("url_a"), "component")
+    c2 = clusters.select(F.col("node").alias("url_b"), "component")
+    return (
+        c1.join(c2, "component")
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+    )
+
+
+def test_text_invariant_byte_identical(pages):
+    assert verify_text_invariant(pages) == 0
+
+
+def test_pairwise_f1_north_metric(spark, pages, result):
+    gold = gold_pairs(pages)
+    pred = _cluster_pairs(result["clusters"])
+    stats = M.pairwise_f1(pred, gold)
+    assert stats["f1"] >= 0.99, stats
+    blocked = M.pairwise_f1_at_blocks(pred, gold, result["blocks"])
+    assert blocked["f1"] >= 0.99, blocked
+
+
+def test_precision_no_cross_entity_merges(spark, pages, result):
+    gold = gold_pairs(pages)
+    pred = _cluster_pairs(result["clusters"])
+    stats = M.pairwise_f1(pred, gold)
+    assert stats["precision"] >= 0.99, stats
+
+
+def test_skewed_corpus_still_correct(spark):
+    """Hot-entity fixture: ~10% of pages collapse into entity 0.  The
+    oversized-block cap + salting must keep the job correct."""
+    hot = generate_pages(spark, 300, cluster_size=3, hot_fraction=0.1).cache()
+    out = run_linkage(spark, hot)
+    gold = gold_pairs(hot)
+    pred = _cluster_pairs(out["clusters"])
+    stats = M.pairwise_f1(pred, gold)
+    # hot block is huge; pairs within it may exceed block cap ⇒ recall on
+    # the hot entity can drop, but precision must hold and overall F1
+    # stay reasonable
+    assert stats["precision"] >= 0.99, stats
+    assert stats["f1"] >= 0.90, stats
+
+
+def test_deterministic_rerun(spark, pages):
+    out1 = run_linkage(spark, pages)
+    out2 = run_linkage(spark, pages)
+    l1 = {tuple(r) for r in out1["links"].select("url_a", "url_b").collect()}
+    l2 = {tuple(r) for r in out2["links"].select("url_a", "url_b").collect()}
+    assert l1 == l2
