@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship linkage pipeline over sf0.001 documents.
+queries()         — one entry per implemented operator (SURVEY.md §2 +
+                    training-data-pipeline extras), from plans/catalog.py.
+oracle_sql()      — matching DuckDB SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -12,27 +11,30 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full ER pipeline (blocking → pairwise scoring →
+    transitive clustering) over the sf0.001 documents table treated as the
+    pages corpus.  Returns the clusters DataFrame (node, component)."""
+    from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), F.col("text")
+    )
+    out = run_linkage(spark, pages, cfg=LinkageConfig())
+    return out["clusters"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from biomedical_el_spark.plans import catalog
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(catalog.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from biomedical_el_spark.plans import catalog
+
+    return dict(catalog.ORACLES)

@@ -1,0 +1,808 @@
+"""Operator catalog for the driver harness: every SURVEY.md §2 operator as
+a (spark_query, duckdb_oracle_sql) pair over the shared testdata tables
+(region nation customer supplier part orders lineitem events documents
+embeddings).
+
+Naming contract: every computed column is aliased IDENTICALLY in the Spark
+plan and the oracle SQL (the driver hashes values under sorted column
+names).  Hash-bearing queries use md5 (byte-identical in DuckDB); float
+aggregates are rounded to fixed decimals to absorb summation-order noise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as X
+from ..functions.similarity import cosine_expr, jaro_winkler_udf
+from ..operators import blocking as B
+from ..operators import pairs as P
+from ..operators.cc import connected_components
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# ER pipeline operators over `documents` (the pages stand-in)
+# =====================================================================
+
+@register(
+    "er_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_dups,
+           min(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def er_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content (training-data pipeline op).
+    Map-side partial agg; shuffle carries (hash, count, min) only."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_dups"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+# shared SQL fragment: tokenize + 3-shingles + md5 minhash (8 hashes)
+_SHINGLE_SQL = """
+        SELECT doc_id,
+               CASE WHEN len(words) < 3
+                    THEN [array_to_string(words, ' ')]
+                    ELSE list_transform(range(1, len(words) - 1),
+                                        i -> array_to_string(words[i:i+2], ' '))
+               END AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 w -> w != '') AS words
+              FROM documents)
+"""
+
+_MINHASH_SQL = f"""
+        SELECT doc_id,
+               list_transform(range(0, 8),
+                   s -> list_min(list_transform(sh, x -> md5(s || ':' || x)))) AS sig
+        FROM ({_SHINGLE_SQL})
+"""
+
+_BLOCKS_SQL = f"""
+        SELECT doc_id,
+               b || '|' || sig[2*b+1] || ',' || sig[2*b+2] AS block_key
+        FROM ({_MINHASH_SQL}), (SELECT unnest(range(0, 4)) AS b)
+"""
+
+
+@register("er_minhash_blocks", f"SELECT doc_id, block_key FROM ({_BLOCKS_SQL})")
+def er_minhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (md5 mode, 8 hashes × 4 bands) — stage-1
+    blocking, oracle-checkable end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    blk = B.shingle_blocks(
+        docs, k_shingle=3, num_hashes=8, bands=4, rows_per_band=2,
+        mode="md5", id_col="doc_id",
+    )
+    return blk.select(F.col("url").alias("doc_id"), "block_key")
+
+
+_PAIRS_SQL = f"""
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({_BLOCKS_SQL}) a JOIN ({_BLOCKS_SQL}) b USING (block_key)
+        WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("er_candidate_pairs", _PAIRS_SQL)
+def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking → candidate pairs (equi-join on band key, canonical
+    ordering, distinct across bands)."""
+    blocks = er_minhash_blocks(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    cand, _ = P.candidate_pairs(blocks, max_block_size=None)
+    return cand.select(
+        F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b")
+    )
+
+
+@register(
+    "er_ngram_jaccard",
+    f"""
+    SELECT doc_a, doc_b,
+           round(CASE WHEN len(list_distinct(a.sh)) + len(list_distinct(b.sh)) = 0 THEN 0
+                 ELSE len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))) * 1.0
+                      / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                         - len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))))
+                 END, 6) AS jaccard
+    FROM ({_PAIRS_SQL}) p
+    JOIN ({_SHINGLE_SQL}) a ON p.doc_a = a.doc_id
+    JOIN ({_SHINGLE_SQL}) b ON p.doc_b = b.doc_id
+    """,
+)
+def er_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise n-gram Jaccard verification of blocked candidates (the
+    set-similarity leg of stage-2 scoring)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        X.shingles(X.tokens(X.normalize_text(F.col("text"))), 3).alias("sh"),
+    )
+    pairs = er_candidate_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    from ..functions.similarity import jaccard_expr
+
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "er_jaro_winkler",
+    f"""
+    SELECT doc_a, doc_b,
+           round(jaro_winkler_similarity(substr(a.text, 1, 64), substr(b.text, 1, 64)), 6) AS jw
+    FROM ({_PAIRS_SQL}) p
+    JOIN documents a ON p.doc_a = a.doc_id
+    JOIN documents b ON p.doc_b = b.doc_id
+    """,
+)
+def er_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Jaro-Winkler (batch numpy pandas UDF) vs DuckDB's
+    built-in — the string leg of stage-2 scoring."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 64).alias("prefix")
+    )
+    pairs = er_candidate_pairs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(jaro_winkler_udf(F.col("pa"), F.col("pb")), 6).alias("jw"),
+        )
+    )
+
+
+@register(
+    "er_simhash",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                          w -> w != '')) AS t
+        FROM documents
+    ), votes AS (
+        SELECT doc_id, k,
+               sum(CASE WHEN substr(md5(t), k, 1) >= '8' THEN 1 ELSE -1 END) AS v
+        FROM toks, (SELECT unnest(range(1, 17)) AS k)
+        GROUP BY doc_id, k
+    )
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << (k - 1)) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def er_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document via explode + two-level aggregation —
+    near-dup fingerprinting with map-side partial aggs at every level."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("t")
+    )
+    votes = toks.select(
+        "doc_id", F.posexplode(H.simhash_bits(F.col("t"), 16)).alias("k0", "vote")
+    ).groupBy("doc_id", (F.col("k0") + 1).alias("k")).agg(F.sum("vote").alias("v"))
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k - 1 AS INT))")
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, bit).otherwise(0)).alias("simhash")
+    )
+
+
+@register(
+    "er_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                              w -> w != ''),
+                       t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def er_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (text-analysis
+    op; distinguishes permuted docs unlike set-based hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = X.tokens(X.normalize_text(F.col("text")))
+    return docs.select("doc_id", H.rolling_fingerprint(tok).alias("fingerprint"))
+
+
+# =====================================================================
+# Similarity search (ANN) over `embeddings`
+# =====================================================================
+
+_DOT_SQL = """
+        round(list_sum(list_transform(range(1, 65),
+              i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE))), 6)
+"""
+
+_NORM_A = "sqrt(list_sum(list_transform(range(1, 65), i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE))))"
+_NORM_B = "sqrt(list_sum(list_transform(range(1, 65), i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE))))"
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+               / ({_NORM_A} * {_NORM_B}) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id % 20 = 0 AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the ANN baseline (reference brute-force
+    all-candidates scoring, utils_e2e_span.py:417-426 + torch.topk W1).
+    Query side is broadcast; the big side streams through one codegen'd
+    projection; per-query top-k via window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), dbl.alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), dbl.alias("cv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@register("ann_lsh_topk")  # no SQL oracle: numpy hyperplanes (rows-only check)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the scale path: hyperplane bucket equi-join
+    instead of cross join; brute-force rescoring only within buckets."""
+    from ..functions.embedder import hyperplane_lsh_udf
+    from ..functions.similarity import cosine_udf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = hyperplane_lsh_udf(num_planes=4, seed=7)(F.col("embedding"))
+    keyed = emb.select("vec_id", "embedding", key.alias("bucket"))
+    q = keyed.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = keyed.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_udf(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@register(
+    "ann_label_top1",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nl,
+               list_sum(list_transform(range(1, 65),
+                   i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+               / ({_NORM_A} * {_NORM_B}) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id % 20 = 0 AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, arg_max(nl, cos) AS pred_label
+    FROM scored GROUP BY query_id
+    """,
+)
+def ann_label_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 linking via max_by — the reference's argmax entity assignment
+    (run_e2e_span.py:570-575, W2) as a single aggregate (no window)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), dbl.alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), dbl.alias("cv"), F.col("label").alias("nl"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "nl", cosine_expr(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    return scored.groupBy("query_id").agg(F.max_by("nl", "cos").alias("pred_label"))
+
+
+# =====================================================================
+# Transitive clustering (connected components) with a recursive-CTE oracle
+# =====================================================================
+
+@register(
+    "cc_customer_nation_region",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT c_custkey + 1000000 AS src, CAST(c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_regionkey + 5000000 FROM nation
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(node, comp) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.comp FROM sym s JOIN reach r ON s.dst = r.node
+    )
+    SELECT node, min(comp) AS component FROM reach GROUP BY node
+    """,
+)
+def cc_customer_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components on the customer→nation→
+    region graph (multi-hop transitivity) vs a recursive-CTE oracle."""
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 1000000).alias("url_a"),
+        F.col("c_nationkey").cast("bigint").alias("url_b"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("url_a"),
+        (F.col("n_regionkey") + 5000000).alias("url_b"),
+    )
+    return connected_components(cust.unionByName(nat))
+
+
+# =====================================================================
+# Relational operators over the TPC-H-ish star (SURVEY.md §2.2-2.7)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (A4/A6 eval-counter semantics): filter
+    pushed to the scan, map-side partial aggs, 2-key groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_order_revenue",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    """,
+)
+def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-join chain: small dim (customer) broadcast, fact-fact join
+    on the shuffle key, single-key agg."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "w_running_total",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running
+    FROM events
+    """,
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 prefix-sum window (the reference's cumulative span-score trick,
+    modeling_e2e_span.py:71-78) as a classic running-total window."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(win), 6).alias("running")
+    )
+
+
+@register(
+    "w_topk_per_user",
+    """
+    SELECT event_id, user_id, rnk FROM (
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rnk
+        FROM events
+    ) WHERE rnk <= 3
+    """,
+)
+def w_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 top-k per group (reference torch.topk, utils_e2e_span.py:426)."""
+    ev = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("event_id", "user_id", "rnk")
+    )
+
+
+@register(
+    "j_interval_overlap",
+    """
+    SELECT o.o_orderkey, count(*) AS n_shipped_in_window
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 span-overlap/range join (reference gold↔pred interval matching,
+    run_e2e_span.py:449-518): equi key + range predicates."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped_in_window"))
+    )
+
+
+@register(
+    "a_group_concat",
+    """
+    SELECT lang,
+           string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0'), ',' ORDER BY doc_id) AS doc_ids,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def a_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 order-stable group-concat (reference title+abstract concat,
+    data_preprocessing.py:40-43): sort_array(collect_list) keeps the agg
+    deterministic under any partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.lpad(F.col("doc_id").cast("string"), 8, "0"))),
+            ",",
+        ).alias("doc_ids"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "a_value_histogram",
+    """
+    SELECT CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 score-distribution histogram (reference position_of_positive,
+    utils_e2e_span.py:438-445)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor("value").cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# Filters / projections / string & scalar functions (P1-P5, F1-F8)
+# =====================================================================
+
+@register(
+    "p_filter_project",
+    """
+    SELECT doc_id,
+           lower(substr(text, 1, 32)) AS head,
+           regexp_extract(source, '([0-9]+)', 1) AS src_num,
+           n_chars
+    FROM documents
+    WHERE lang != 'en' AND n_chars >= 100 AND n_chars < 400
+    """,
+)
+def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 concept-filter + P2 composite-id projection + P3 validity
+    predicate + P4 lower-casing, composed; all pushed into the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("lang") != "en") & (F.col("n_chars") >= 100) & (F.col("n_chars") < 400))
+        .select(
+            "doc_id",
+            F.lower(F.substring("text", 1, 32)).alias("head"),
+            F.regexp_extract("source", r"([0-9]+)", 1).alias("src_num"),
+            "n_chars",
+        )
+    )
+
+
+@register(
+    "f_string_scalar",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
+           round(1.0 / (1.0 + exp(-value)), 6) AS sigmoid_value,
+           len(string_split_regex(trim(event_type), '_')) AS n_parts
+    FROM events
+    """,
+)
+def f_string_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 regex extraction, F8 sigmoid (run_e2e_span.py:536), F2 split —
+    all JVM-side scalar expressions."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint").alias("k_val"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value"))), 6).alias("sigmoid_value"),
+        F.size(F.split(F.trim("event_type"), "_")).alias("n_parts"),
+    )
+
+
+# =====================================================================
+# Set operations (SO1-SO3)
+# =====================================================================
+
+@register(
+    "so_never_ordered_parts",
+    """
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def so_never_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 negative-pool difference (utils_e2e_span.py:344-345) as a
+    left-anti join — the NOT EXISTS plan."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return part.join(li, "p_partkey", "left_anti").select("p_partkey", "p_brand")
+
+
+@register(
+    "so_dedup_first_event",
+    """
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def so_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2 dedup (utils_e2e_span.py:446-449) done deterministically:
+    groupBy+min instead of dropDuplicates (which is partition-order
+    dependent — a correctness trap at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+@register(
+    "so_distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def so_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3 distinct struct set (modeling_e2e_span.py:113-127)."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# =====================================================================
+# Text analysis (training-data pipeline ops)
+# =====================================================================
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+@register(
+    "t_quality_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w != '') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(CASE WHEN len(w) = 0 THEN 0
+                 ELSE len(list_filter(w, x -> list_contains({_STOPWORDS!r}, x))) * 1.0 / len(w)
+                 END, 6) AS stopword_ratio,
+           round(CASE WHEN len(w) = 0 THEN 0 ELSE n_chars * 1.0 / len(w) END, 6) AS avg_token_len,
+           CASE WHEN len(w) >= 20 AND len(w) <= 1000 THEN 1 ELSE 0 END AS len_ok
+    FROM toks
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: token count, stopword ratio, length
+    gates — the standard pre-training corpus filters."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = X.tokens(X.normalize_text(F.col("text")))
+    d = docs.select("doc_id", "n_chars", tok.alias("w"))
+    n = F.size("w")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(X.stopword_ratio(F.col("w"), _STOPWORDS), 6).alias("stopword_ratio"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(F.col("n_chars") / n.cast("double")), 6
+        ).alias("avg_token_len"),
+        F.when((n >= 20) & (n <= 1000), 1).otherwise(0).alias("len_ok"),
+    )
+
+
+@register(
+    "t_lang_id",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w != '') AS w
+        FROM documents
+    )
+    SELECT doc_id, lang AS declared_lang,
+           CASE WHEN len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) * 10
+                     >= len(w) THEN 'en' ELSE 'other' END AS guessed_lang
+    FROM toks
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-density vote (n-gram heuristic
+    family) — declared vs guessed for drift monitoring."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", X.tokens(X.normalize_text(F.col("text"))).alias("w"))
+    en_hits = F.size(F.filter(F.col("w"), lambda x: x.isin("the", "a", "of", "and")))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.when(en_hits * 10 >= F.size("w"), "en").otherwise("other").alias("guessed_lang"),
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (binary columns + typed metadata)
+# =====================================================================
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           md5(text) AS content_hash,
+           CASE WHEN strlen(text) % 3 = 0 THEN 'image'
+                WHEN strlen(text) % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: treat content as opaque binary +
+    typed metadata.  The decode/feature-extract step is a mapInPandas
+    stub (operators/multimodal.py); here the Spark-side schema/metadata
+    path is exercised end-to-end against SQL."""
+    from ..operators.multimodal import binary_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return binary_metadata(docs, id_col="doc_id", bin_col="payload")
+
+
+# =====================================================================
+# Near-dup end-to-end (dedup family headline)
+# =====================================================================
+
+@register(
+    "d_near_dup_pairs",
+    f"""
+    SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               CASE WHEN len(list_distinct(a.sh)) + len(list_distinct(b.sh)) = 0 THEN 0
+                 ELSE len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))) * 1.0
+                      / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                         - len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))))
+                 END AS j
+        FROM ({_PAIRS_SQL}) p
+        JOIN ({_SHINGLE_SQL}) a ON p.doc_a = a.doc_id
+        JOIN ({_SHINGLE_SQL}) b ON p.doc_b = b.doc_id
+    ) WHERE j >= 0.08
+    """,
+)
+def d_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash blocking → Jaccard verify ≥ τ: the complete near-dup
+    detection chain as one declarative plan."""
+    from ..functions.similarity import jaccard_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", X.shingles(X.tokens(X.normalize_text(F.col("text"))), 3).alias("sh")
+    )
+    pairs = er_candidate_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(jaccard_expr(F.col("sh_a"), F.col("sh_b")) >= 0.08)
+        .select("doc_a", "doc_b")
+    )
