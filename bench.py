@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...,
+   "n_pages": ..., "cpus": ...}
+
+The flagship `linkage_e2e` entry runs the full ER pipeline (blocking →
+scoring → clustering) over a deterministic synthetic pages corpus
+materialized to parquet first, so the measured time is engine time (read
+→ cluster), not datagen.  `pages_per_sec` is the north-rule throughput
+number; tools/scaling_bench.py runs this at two parallelism levels for
+the scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "er_minhash_blocks",
+    "er_candidate_pairs",
+    "d_near_dup_pairs",
+    "er_simhash",
+    "er_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "cc_customer_nation_region",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "w_running_total",
+    "j_interval_overlap",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from biomedical_el_spark.datagen.pages import generate_pages
+    from biomedical_el_spark.plans import catalog
+    from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
+    from biomedical_el_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        catalog.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results[name] = round(time.time() - t0, 3)
+
+    # flagship: materialize synthetic pages, then time read → clusters
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        generate_pages(spark, n_pages, cluster_size=4).write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
+        t0 = time.time()
+        pages = spark.read.parquet(pages_dir)
+        out = run_linkage(spark, pages, cfg=LinkageConfig())
+        out["clusters"].write.format("noop").mode("overwrite").save()
+        linkage_sec = time.time() - t0
+        for df in out.values():
+            df.unpersist()
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+    results["linkage_e2e"] = round(linkage_sec, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "pages_per_sec": round(n_pages / linkage_sec, 1),
+                "n_pages": n_pages,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Batched numpy MinHash: token-3-shingle signatures for a whole Arrow
+batch in one pass — no per-row Python, no explode/shuffle.
+
+This is the scale path for stage-1 blocking (the md5/xxhash64 SQL modes in
+functions/hashing.py remain for DuckDB-oracle parity): tokenization,
+token hashing, shingling, and the 32 seeded minima are all [batch]-wide
+numpy ops over one concatenated byte buffer.  At 10^12 pages this turns
+the signature computation into a narrow per-row projection: the only
+shuffle left in blocking is the band-key explode (url, key) relation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_P = np.uint64(1099511628211)  # FNV-1a prime for byte folding
+_Q1 = np.uint64(0x9E3779B97F4A7C15)
+_Q2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+_WS = frozenset((9, 10, 13, 32))
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def minhash_batch(
+    texts: pd.Series, num_hashes: int = 32, seed: int = 42
+) -> np.ndarray:
+    """[N] strings → [N, num_hashes] uint64 minhash signature over token
+    3-shingles.  Docs with <3 tokens fall back to token-level hashes;
+    empty docs get the sentinel signature (all-identical ⇒ they block
+    together, which is semantically right: empty pages ARE duplicates)."""
+    enc = texts.fillna("").astype(str).str.lower().str.encode("utf-8")
+    lens = np.fromiter((len(x) for x in enc), np.int64, count=len(enc))
+    n = len(enc)
+    out = np.full((n, num_hashes), _SENTINEL, dtype=np.uint64)
+    total = int(lens.sum())
+    if n == 0 or total == 0:
+        return out
+
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    ws = (buf == 32) | (buf == 9) | (buf == 10) | (buf == 13)
+    is_tok = ~ws
+    prev_is_tok = np.concatenate(([False], is_tok[:-1]))
+    prev_seg = np.concatenate(([-1], seg[:-1]))
+    tok_start = is_tok & (~prev_is_tok | (prev_seg != seg))
+    T = int(tok_start.sum())
+    if T == 0:
+        return out
+
+    tid = np.cumsum(tok_start) - 1  # token id per byte (valid where is_tok)
+    tok_seg = seg[tok_start]
+    tlen = np.bincount(tid[is_tok], minlength=T)
+    Lmax = int(tlen.max())
+
+    # token byte matrix [T, Lmax] + column-fold polynomial hash
+    mat = np.zeros((T, Lmax), dtype=np.uint8)
+    byte_idx = np.flatnonzero(is_tok)
+    bt = tid[is_tok]
+    starts = np.flatnonzero(tok_start)
+    mat[bt, byte_idx - starts[bt]] = buf[byte_idx]
+    h = np.zeros(T, dtype=np.uint64)
+    valid = np.arange(Lmax)[None, :] < tlen[:, None]
+    for j in range(Lmax):  # loop over CHAR positions, not rows
+        h = np.where(valid[:, j], h * _P + mat[:, j], h)
+    h = _mix(h)
+
+    # 3-shingles of consecutive token hashes within one document
+    if T >= 3:
+        same = tok_seg[:-2] == tok_seg[2:]
+        sh = (h[:-2] * _Q1 + h[1:-1] * _Q2 + h[2:])[same]
+        sh_seg = tok_seg[:-2][same]
+    else:
+        sh = np.zeros(0, dtype=np.uint64)
+        sh_seg = np.zeros(0, dtype=np.int64)
+
+    # fallback for docs with tokens but no complete shingle
+    has_sh = np.zeros(n, dtype=bool)
+    has_sh[sh_seg] = True
+    fb = ~has_sh[tok_seg]
+    if fb.any():
+        sh = np.concatenate([sh, h[fb]])
+        sh_seg = np.concatenate([sh_seg, tok_seg[fb]])
+        order = np.argsort(sh_seg, kind="stable")
+        sh, sh_seg = sh[order], sh_seg[order]
+
+    counts = np.bincount(sh_seg, minlength=n)
+    starts_per_doc = np.searchsorted(sh_seg, np.arange(n))
+    sh_guard = np.append(sh, np.uint64(0))  # protect reduceat at array end
+    with np.errstate(over="ignore"):
+        seeds = np.uint64(seed) + np.arange(num_hashes, dtype=np.uint64) * _Q1
+    for i in range(num_hashes):
+        hi = _mix(sh_guard ^ seeds[i])
+        hi[-1] = _SENTINEL
+        mins = np.minimum.reduceat(hi, starts_per_doc)
+        out[:, i] = np.where(counts > 0, mins, _SENTINEL)
+    return out

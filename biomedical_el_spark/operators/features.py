@@ -1,0 +1,78 @@
+"""Stage 0.5 — per-page feature table: ONE batched Arrow pass computes the
+embedding (dual-encoder stand-in, SURVEY.md U1) and the MinHash signature
+together, so downstream blocking AND scoring read a narrow materialized
+relation instead of recomputing text kernels.
+
+    pages(url, text) → features(url, vec array<float>,
+                                sig array<bigint>, prefix string)
+
+At 10^12 pages this is the stage worth snapshotting (Iceberg table
+bucketed by url): blocking derives band keys from `sig` (pure projection,
+no shuffle), scoring hydrates pairs from it (~600B/row instead of
+multi-KB shingle arrays).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embedder import DIM, _embed_batch
+from ..functions.minhash_np import minhash_batch
+
+
+def page_features(
+    pages: DataFrame,
+    num_hashes: int = 32,
+    seed: int = 42,
+    prefix_len: int = 64,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Compute (url, vec, sig, prefix) in one scalar-iterator pandas UDF
+    over Arrow batches — model/config init once per worker."""
+
+    @F.pandas_udf(f"vec array<float>, sig array<bigint>")
+    def feats(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            vecs = _embed_batch(texts, DIM)
+            sigs = minhash_batch(texts, num_hashes, seed).astype("int64")
+            yield pd.DataFrame(
+                {"vec": list(vecs), "sig": list(sigs)}
+            )
+
+    return pages.select(
+        F.col(id_col).alias("url"),
+        feats(F.col(text_col)).alias("f"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("prefix"),
+    ).select("url", "f.vec", "f.sig", "prefix")
+
+
+def band_keys_from_sig(
+    features: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """features → (url, block_key): pure projection + explode; the only
+    wide relation blocking ever shuffles is (url, key)."""
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            "|",
+            b.cast("string"),
+            F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
+        ),
+    )
+    return features.select("url", F.explode(keys).alias("block_key"))
+
+
+def sig_jaccard_expr(a, b):
+    """MinHash Jaccard estimate from two signatures: fraction of agreeing
+    components — JVM-side zip_with/aggregate, unbiased, ±1/sqrt(len) s.e."""
+    agree = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree.cast("double") / F.size(a).cast("double")

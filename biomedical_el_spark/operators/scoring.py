@@ -76,3 +76,39 @@ def top_links(scored: DataFrame, k: int = 1) -> DataFrame:
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def score_pairs_from_features(
+    pairs: DataFrame,
+    features: DataFrame,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Scale-path scorer: hydrate (url_a, url_b) from the narrow features
+    table (vec + minhash sig + prefix, ~600B/row) with plain equi-joins —
+    AQE skew-join splitting handles residual hot urls; `salted_feature_join`
+    remains available for pathological dimensions.  Jaccard comes from the
+    signature estimate (no shingle arrays shuffled)."""
+    from .features import sig_jaccard_expr
+
+    w = weights or DEFAULT_WEIGHTS
+    fa = features.select(
+        F.col("url").alias("url_a"), F.col("vec").alias("vec_a"),
+        F.col("sig").alias("sig_a"), F.col("prefix").alias("prefix_a"),
+    )
+    fb = features.select(
+        F.col("url").alias("url_b"), F.col("vec").alias("vec_b"),
+        F.col("sig").alias("sig_b"), F.col("prefix").alias("prefix_b"),
+    )
+    hydrated = pairs.join(fa, "url_a").join(fb, "url_b")
+    return hydrated.select(
+        "url_a",
+        "url_b",
+        cosine_udf(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+        sig_jaccard_expr(F.col("sig_a"), F.col("sig_b")).alias("jac_sim"),
+        jaro_winkler_udf(F.col("prefix_a"), F.col("prefix_b")).alias("jw_sim"),
+    ).withColumn(
+        "score",
+        w["cos"] * F.col("cos_sim")
+        + w["jac"] * F.col("jac_sim")
+        + w["jw"] * F.col("jw_sim"),
+    )

@@ -1,42 +1,45 @@
 """The flagship end-to-end linkage pipeline (reference inference path,
 SURVEY.md §3.3, restated Spark-first):
 
-    pages ─┬─ shingle MinHash-LSH blocks ──┐
-           └─ embedding hyperplane blocks ─┴─ candidate pairs
-                 → hybrid pairwise scoring → τ links
-                 → large-star/small-star connected components → clusters
+    pages ── features (ONE batched Arrow pass: embedding + minhash sig)
+        ├── shingle-LSH band keys ──┐
+        └── hyperplane LSH buckets ─┴─ candidate pairs (block-size capped,
+              oversized reported) → pairwise scoring (cos + sig-jaccard +
+              jaro-winkler over narrow feature joins, AQE skew-handled)
+              → τ links → large-star/small-star connected components
 
-Each stage commits a snapshot (blocks, pairs, scored, links, clusters,
-plus lineage/score metrics) keyed by a config+upstream fingerprint, so a
-killed run resumes from the last committed stage with identical output
-(tested: resume == fresh run).
+Each stage commits a snapshot (features, blocks, pairs, scored, links,
+clusters + lineage/score metrics) keyed by config+upstream fingerprint;
+a killed run resumes from the last committed stage with identical output
+(tested: resume == fresh).  On a cluster these are Iceberg tables; the
+features table is the one worth bucketing by url.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import metrics as M
-from ..operators import blocking as B
+from ..functions.embedder import hyperplane_lsh_udf
 from ..operators import cc as CC
 from ..operators import pairs as P
 from ..operators import scoring as S
+from ..operators.features import band_keys_from_sig, page_features
 from ..sources.snapshots import SnapshotStore, fingerprint
 
 
 @dataclass
 class LinkageConfig:
-    k_shingle: int = 3
     num_hashes: int = 32
     bands: int = 16
     rows_per_band: int = 2
+    minhash_seed: int = 42
     use_embedding_blocks: bool = True
     hyperplanes: int = 12
     max_block_size: int = 64
-    salt_buckets: int = 8
     tau: float = 0.62
     weights: dict = field(default_factory=lambda: dict(S.DEFAULT_WEIGHTS))
 
@@ -50,6 +53,7 @@ def run_linkage(
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns all stage DataFrames."""
     cfg = cfg or LinkageConfig()
+    assert cfg.bands * cfg.rows_per_band == cfg.num_hashes
     cfg_fp = fingerprint(asdict(cfg), input_fingerprint)
 
     def snap(stage: str, compute, partition_by=None) -> DataFrame:
@@ -59,12 +63,19 @@ def run_linkage(
             return compute().persist()
         return store.get_or_compute(spark, stage, cfg_fp, compute, partition_by)
 
+    features = snap(
+        "features", lambda: page_features(pages, cfg.num_hashes, cfg.minhash_seed)
+    )
+
     def compute_blocks() -> DataFrame:
-        blk = B.shingle_blocks(
-            pages, cfg.k_shingle, cfg.num_hashes, cfg.bands, cfg.rows_per_band
-        )
+        blk = band_keys_from_sig(features, cfg.bands, cfg.rows_per_band)
         if cfg.use_embedding_blocks:
-            blk = blk.unionByName(B.embedding_blocks(pages, cfg.hyperplanes))
+            key = hyperplane_lsh_udf(cfg.hyperplanes)(F.col("vec"))
+            blk = blk.unionByName(
+                features.select(
+                    "url", F.concat(F.lit("hp|"), key.cast("string")).alias("block_key")
+                )
+            )
         return blk
 
     blocks = snap("blocks", compute_blocks)
@@ -77,12 +88,10 @@ def run_linkage(
 
     pairs = snap("pairs", compute_pairs)
 
-    def compute_scored() -> DataFrame:
-        return S.score_pairs(
-            pairs, pages, cfg.weights, cfg.salt_buckets, cfg.k_shingle
-        )
-
-    scored = snap("scored", compute_scored)
+    scored = snap(
+        "scored",
+        lambda: S.score_pairs_from_features(pairs, features, cfg.weights),
+    )
     if store is not None:
         store.write(M.score_histogram(scored), "metrics_score_hist", cfg_fp)
         store.write(M.partition_lineage(scored, "scored"), "metrics_lineage", cfg_fp)
@@ -101,6 +110,7 @@ def run_linkage(
 
     clusters = snap("clusters", compute_clusters)
     return {
+        "features": features,
         "blocks": blocks,
         "pairs": pairs,
         "scored": scored,
