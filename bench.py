@@ -45,7 +45,7 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "250000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from biomedical_el_spark.datagen.pages import generate_pages

@@ -95,12 +95,16 @@ def jaro_winkler_batch(sa: pd.Series, sb: pd.Series) -> np.ndarray:
     Matches DuckDB's jaro_winkler_similarity (boost threshold 0.7,
     prefix weight 0.1, prefix cap 4) for oracle parity.
     """
-    L = _JW_MAXLEN
-    A, la = _to_char_matrix(sa, L)
-    B, lb = _to_char_matrix(sb, L)
+    A, la = _to_char_matrix(sa, _JW_MAXLEN)
+    B, lb = _to_char_matrix(sb, _JW_MAXLEN)
     N = len(la)
     if N == 0:
         return np.empty(0)
+    # shrink the working matrices to the batch's real max length — the
+    # [N, L, L] intermediates are memory-bandwidth-bound, so L matters
+    L = max(int(la.max()), int(lb.max()), 4)
+    if L < _JW_MAXLEN:
+        A, B = A[:, :L], B[:, :L]
 
     w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # match window
     ii = np.arange(L)

@@ -21,10 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
+def _symmetrize(edges: DataFrame, dedup: bool = False) -> DataFrame:
+    """Both directions of every edge.  No distinct by default: the min
+    aggregation inside _star is duplicate-insensitive and each star ends
+    in its own distinct, so deduping here would just add a shuffle."""
     fwd = edges.select(F.col("src"), F.col("dst"))
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+    out = fwd.union(rev).filter(F.col("src") != F.col("dst"))
+    return out.distinct() if dedup else out
 
 
 def _star(edges: DataFrame, large: bool) -> DataFrame:

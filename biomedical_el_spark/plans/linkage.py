@@ -41,6 +41,7 @@ class LinkageConfig:
     hyperplanes: int = 12
     max_block_size: int = 64
     tau: float = 0.62
+    jw_prefix: int = 32
     weights: dict = field(default_factory=lambda: dict(S.DEFAULT_WEIGHTS))
 
 
@@ -63,17 +64,28 @@ def run_linkage(
             return compute().persist()
         return store.get_or_compute(spark, stage, cfg_fp, compute, partition_by)
 
+    # Explicit repartition before the feature UDF: parquet split packing
+    # can hand a small corpus to a handful of tasks; the CPU-bound encoder
+    # stage must fan out to the full parallelism (SURVEY.md §4.3).  On a
+    # cluster this is repartition(N, "url") against bucketed Iceberg.
+    n_part = spark.sparkContext.defaultParallelism * 2
+    paged = pages.repartition(n_part, "url")
     features = snap(
-        "features", lambda: page_features(pages, cfg.num_hashes, cfg.minhash_seed)
+        "features",
+        lambda: page_features(
+            paged, cfg.num_hashes, cfg.minhash_seed, prefix_len=cfg.jw_prefix
+        ),
     )
 
     def compute_blocks() -> DataFrame:
         blk = band_keys_from_sig(features, cfg.bands, cfg.rows_per_band)
         if cfg.use_embedding_blocks:
             key = hyperplane_lsh_udf(cfg.hyperplanes)(F.col("vec"))
+            # shift hyperplane buckets into their own bigint key space
             blk = blk.unionByName(
                 features.select(
-                    "url", F.concat(F.lit("hp|"), key.cast("string")).alias("block_key")
+                    "url",
+                    (F.lit(1 << 40) + key.cast("bigint")).alias("block_key"),
                 )
             )
         return blk
@@ -81,7 +93,7 @@ def run_linkage(
     blocks = snap("blocks", compute_blocks)
 
     def compute_pairs() -> DataFrame:
-        cand, oversized = P.candidate_pairs(blocks, cfg.max_block_size)
+        cand, oversized = P.candidate_pairs_grouped(blocks, cfg.max_block_size)
         if store is not None:
             store.write(oversized, "oversized_blocks", cfg_fp)  # never silent
         return cand

@@ -42,12 +42,28 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CPU-heavy Arrow-UDF stages want more, smaller partitions than
+        # the 64MB default advisory (which coalesces small-SF shuffles
+        # down to fewer tasks than cores)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # G1 (the JDK17 default) collapses under multi-threaded allocation
+        # in this container (measured 17× slower than ParallelGC at 32
+        # threads on an allocation-heavy stage), and auto-sized young gen
+        # (~heap/3) made minor GCs eat ~70% of shuffle-stage wall time —
+        # cap it.  (Measured: pairs stage 40.5s → 10.2s with -Xmn2g.)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xmn2g")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC -Xmn2g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the scoring joins carry wide feature rows: hash join skips the
+        # two 1GB sorts a sort-merge join would do (measured ~2× on the
+        # scoring stage)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
