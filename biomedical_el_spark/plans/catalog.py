@@ -806,3 +806,60 @@ def d_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jaccard_expr(F.col("sh_a"), F.col("sh_b")) >= 0.08)
         .select("doc_a", "doc_b")
     )
+
+
+@register(
+    "er_near_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   CASE WHEN len(list_distinct(a.sh)) + len(list_distinct(b.sh)) = 0 THEN 0
+                     ELSE len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))) * 1.0
+                          / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+                             - len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))))
+                     END AS j
+            FROM ({_PAIRS_SQL}) p
+            JOIN ({_SHINGLE_SQL}) a ON p.doc_a = a.doc_id
+            JOIN ({_SHINGLE_SQL}) b ON p.doc_b = b.doc_id
+        ) WHERE j >= 0.08
+    ), sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, comp) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.comp FROM sym s JOIN reach r ON s.dst = r.node
+    )
+    SELECT node, min(comp) AS component FROM reach GROUP BY node
+    """,
+)
+def er_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup chain as one oracle-checked query: MinHash blocking
+    → Jaccard-verified near-dup edges → large-star/small-star connected
+    components, vs DuckDB's recursive-CTE transitive closure."""
+    edges = d_near_dup_pairs(spark, sf_dir)
+    return connected_components(edges, src_col="doc_a", dst_col="doc_b")
+
+
+@register(
+    "w_hard_negative_shape",
+    """
+    SELECT user_id, event_id, rnk - 1 AS neg_rank FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rnk
+        FROM events
+    ) WHERE rnk BETWEEN 2 AND 4
+    """,
+)
+def w_hard_negative_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 hard-negative mining shape on shared testdata: per group, the
+    top-k items EXCLUDING the top-1 'gold' (utils_e2e_span.py:408-449)."""
+    ev = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(win))
+        .filter((F.col("rnk") >= 2) & (F.col("rnk") <= 4))
+        .select("user_id", "event_id", (F.col("rnk") - 1).alias("neg_rank"))
+    )
