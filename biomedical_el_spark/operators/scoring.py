@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..functions.embedder import embed_text
-from ..functions.similarity import cosine_udf, jaro_winkler_udf, jaccard_expr
+from ..functions.similarity import (
+    cosine_expr,
+    cosine_udf,
+    jaccard_expr,
+    jaro_winkler_udf,
+)
 from .pairs import salted_feature_join
 
 DEFAULT_WEIGHTS = {"cos": 0.5, "jac": 0.35, "jw": 0.15}
@@ -100,10 +105,13 @@ def score_pairs_from_features(
         F.col("sig").alias("sig_b"), F.col("prefix").alias("prefix_b"),
     )
     hydrated = pairs.join(fa, "url_a").join(fb, "url_b")
+    # cosine as a JVM expression: measured faster than the Arrow UDF here
+    # (no python round-trip for the 64-dim dot); JW stays a batched numpy
+    # UDF (no SQL equivalent)
     return hydrated.select(
         "url_a",
         "url_b",
-        cosine_udf(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+        cosine_expr(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
         sig_jaccard_expr(F.col("sig_a"), F.col("sig_b")).alias("jac_sim"),
         jaro_winkler_udf(F.col("prefix_a"), F.col("prefix_b")).alias("jw_sim"),
     ).withColumn(

@@ -71,10 +71,12 @@ def main() -> None:
     from biomedical_el_spark.datagen.pages import generate_pages
     from biomedical_el_spark.session import get_spark
 
-    pages_dir = tempfile.mkdtemp(prefix="scaling_pages_")
-    spark = get_spark("scaling-datagen", cores=16)
-    generate_pages(spark, n_pages, cluster_size=4).write.mode("overwrite").parquet(pages_dir)
-    spark.stop()
+    pages_dir = os.environ.get("SCALING_PAGES_DIR")
+    if not pages_dir:
+        pages_dir = tempfile.mkdtemp(prefix="scaling_pages_")
+        spark = get_spark("scaling-datagen", cores=16)
+        generate_pages(spark, n_pages, cluster_size=4).write.mode("overwrite").parquet(pages_dir)
+        spark.stop()
 
     lo = run(lo_cores, pages_dir, repo)
     hi = run(hi_cores, pages_dir, repo)
