@@ -55,6 +55,12 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
+    # untimed warmup: JVM/codegen/python-worker startup shouldn't be
+    # attributed to whichever query happens to run first
+    catalog.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
