@@ -863,3 +863,90 @@ def w_hard_negative_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rnk") >= 2) & (F.col("rnk") <= 4))
         .select("user_id", "event_id", (F.col("rnk") - 1).alias("neg_rank"))
     )
+
+
+@register(
+    "a_cube_metrics",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets metrics rollup (SURVEY.md §2.4: 'cube as a free
+    Spark win' for the per-partition metrics tables)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@register(
+    "s_deterministic_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+    """,
+)
+def s_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 negative sampling done retry-safely: pmod(hash(key)) instead
+    of rand() (utils_e2e_span.py:344-347 random.sample → deterministic
+    1-in-10 keyed sample; SURVEY.md §7a determinism rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = H.hex_prefix_to_long(F.md5(F.col("doc_id").cast("string")))
+    return docs.filter(F.pmod(h, F.lit(10)) == 0).select("doc_id", "lang")
+
+
+@register(
+    "w_sessionize",
+    """
+    WITH gaps AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM gaps
+    """,
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + running sum — the two-window
+    composition (A7 family) every event pipeline needs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = F.when(secs - F.lag(secs).over(w) > 1800, 1).when(
+        F.lag("ts").over(w).isNull(), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", gap)
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("event_id", "user_id", "session_no")
+    )
+
+
+@register(
+    "a_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
