@@ -60,6 +60,48 @@ def embed_text(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series(list(vecs))
 
 
+def seeded_planes(num_planes: int, seed: int, dim: int = DIM) -> np.ndarray:
+    """The shared random-hyperplane matrix [dim, num_planes]: one seeded
+    draw used by BOTH the batched UDF (scale path) and the JVM/SQL
+    expression form (`hyperplane_bucket_expr`), so bucket keys agree."""
+    return np.random.RandomState(seed).randn(dim, num_planes)
+
+
+def hyperplane_bucket_expr(vec, num_planes: int = 4, seed: int = 7, dim: int = DIM):
+    """Hyperplane LSH bucket as a pure JVM expression (no Python): for
+    each plane, a left-associated literal dot product; bucket = packed
+    sign bits.  Exactly reproducible in any SQL engine by emitting the
+    same literals in the same order (plans/catalog.py builds the DuckDB
+    oracle from this same matrix) — which is what makes the scale-path
+    ANN oracle-checkable, unlike an opaque numpy matmul."""
+    from functools import reduce
+
+    planes = seeded_planes(num_planes, seed, dim)
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        dot = reduce(
+            lambda acc, d: acc + vec.getItem(d).cast("double") * F.lit(float(planes[d, p])),
+            range(1, dim),
+            vec.getItem(0).cast("double") * F.lit(float(planes[0, p])),
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def hyperplane_bucket_sql(col: str, num_planes: int = 4, seed: int = 7, dim: int = DIM) -> str:
+    """The DuckDB rendering of `hyperplane_bucket_expr`: same plane
+    literals, same left-associated addition order, so the double-precision
+    sign of every dot product is bit-identical across engines."""
+    planes = seeded_planes(num_planes, seed, dim)
+    parts = []
+    for p in range(num_planes):
+        dot = " + ".join(
+            f"{col}[{d + 1}]::DOUBLE * {planes[d, p]!r}" for d in range(dim)
+        )
+        parts.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
 def hyperplane_lsh_udf(num_planes: int = 8, seed: int = 42, dim: int = DIM):
     """Random-hyperplane LSH bucket key for array<float> embeddings
     (north_star: 'vectors bucketed by random-hyperplane LSH keys').
@@ -72,7 +114,7 @@ def hyperplane_lsh_udf(num_planes: int = 8, seed: int = 42, dim: int = DIM):
 
     @F.pandas_udf(T.IntegerType())
     def lsh_key(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        planes = np.random.RandomState(seed).randn(dim, num_planes)
+        planes = seeded_planes(num_planes, seed, dim)
         weights = 1 << np.arange(num_planes)
         for vecs in batches:
             mat = np.stack(vecs.to_numpy())

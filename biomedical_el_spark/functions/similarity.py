@@ -21,7 +21,14 @@ from pyspark.sql import types as T
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """Pure-SQL cosine over two array<float> columns (JVM-side; exactly
-    mirrored by DuckDB's list ops for oracle checks)."""
+    mirrored by DuckDB's list ops for oracle checks).
+
+    Zero-norm guard: all-zero vectors are reachable by design (the
+    embedder emits zero vecs for empty/whitespace pages, and empty pages
+    share sentinel minhash signatures so they DO block together into
+    scored pairs) — under Spark 4's default ANSI mode an unguarded
+    dot/(na*nb) would throw DIVIDE_BY_ZERO and kill the scoring stage.
+    Convention: 0.0, matching `cosine_udf`."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -33,7 +40,7 @@ def cosine_expr(a: Column, b: Column) -> Column:
     nb = F.sqrt(
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    return dot / (na * nb)
+    return F.when(na * nb == 0, F.lit(0.0)).otherwise(dot / (na * nb))
 
 
 @F.pandas_udf(T.DoubleType())
