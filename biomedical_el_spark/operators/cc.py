@@ -9,10 +9,26 @@ Algorithm (Kiveris et al., 'Connected Components in MapReduce and
 Beyond'): alternate
   large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u})
   small-star(u): connect every neighbor v ≤ u (v ≠ m) to m
-until the edge set reaches a fixpoint — O(log n) rounds even on chains.
-Each round is one groupBy + join; `localCheckpoint` every round truncates
-the lineage (SURVEY.md §7b: iterative CC lineage blowup MUST checkpoint —
-on a cluster use reliable `checkpoint()` to HDFS/Iceberg instead).
+until the edge set is a set of min-rooted stars — O(log n) rounds even on
+chains.  Convergence is detected by a STAR CERTIFICATE instead of the
+usual edge-set-hash comparison: the hash test needs one extra full round
+(6 shuffles) to observe "nothing changed", while the certificate reads
+the just-checkpointed edges twice (2 cheap jobs).  Certificate: the edge
+set is exactly a forest of min-rooted stars iff
+  (a) every src has out-degree 1, and
+  (b) no dst has any out-edge (all round outputs point strictly
+      downward, src > dst, so an out-edge from a dst would have to go
+      even lower — i.e. the dst is not a root).
+Stars are a fixpoint of both star operations (large star on a star maps
+every leaf back to the root; small star is the identity on it), so
+stopping at the certificate yields the same output as hash-stability, one
+round earlier.
+
+Each round checkpoints to truncate lineage (SURVEY.md §7b: iterative CC
+lineage blowup MUST checkpoint).  `checkpoint_dir=None` uses
+`localCheckpoint` (executor-local blocks — fine in local mode, NOT safe
+under executor loss); pass a reliable `checkpoint_dir` (HDFS/object
+store) on a real cluster.
 """
 
 from __future__ import annotations
@@ -23,7 +39,7 @@ from pyspark.sql import functions as F
 
 def _symmetrize(edges: DataFrame, dedup: bool = False) -> DataFrame:
     """Both directions of every edge.  No distinct by default: the min
-    aggregation inside _star is duplicate-insensitive and each star ends
+    aggregation inside _star is duplicate-insensitive and each round ends
     in its own distinct, so deduping here would just add a shuffle."""
     fwd = edges.select(F.col("src"), F.col("dst"))
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -31,10 +47,17 @@ def _symmetrize(edges: DataFrame, dedup: bool = False) -> DataFrame:
     return out.distinct() if dedup else out
 
 
-def _star(edges: DataFrame, large: bool) -> DataFrame:
-    """One large- or small-star round.  Symmetrizes first: every node must
+def _star(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
+    """One large- or small-star step.  Symmetrizes first: every node must
     see its full undirected neighborhood, including the parent pointers
-    produced by the previous round."""
+    produced by the previous step.
+
+    dedup=False skips the output distinct — used after the large-star
+    step, whose duplicates are harmless to the following small-star
+    (min/neighborhood aggregations are duplicate-insensitive) and whose
+    distinct would cost a full extra shuffle per round; the small-star
+    step always dedups so the round output (and the per-round growth) is
+    bounded."""
     edges = _symmetrize(edges)
     nbr_min = edges.groupBy("src").agg(F.min("dst").alias("mn"))
     m = nbr_min.select(
@@ -48,15 +71,19 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     out = moved.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
         m.select(F.col("src"), F.col("m").alias("dst"))
     )
-    return out.filter(F.col("src") != F.col("dst")).distinct()
+    out = out.filter(F.col("src") != F.col("dst"))
+    return out.distinct() if dedup else out
 
 
-def _signature(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return row["n"], row["h"]
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Star certificate (see module docstring).  Two small jobs over the
+    just-checkpointed edge set; every round output points strictly
+    downward (src > dst), so condition (b) reduces to src∩dst = ∅."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("c"))
+    if deg.filter(F.col("c") > 1).limit(1).count() > 0:
+        return False
+    srcs = edges.select(F.col("src").alias("dst")).distinct()
+    return edges.join(srcs, "dst", "left_semi").limit(1).count() == 0
 
 
 def connected_components(
@@ -64,21 +91,32 @@ def connected_components(
     src_col: str = "url_a",
     dst_col: str = "url_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Edge table → (node, component) with component = min node id of the
     cluster.  Nodes absent from `links` are not emitted (callers union
-    singletons back; see plans/linkage.py)."""
-    edges = _symmetrize(
-        links.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    ).localCheckpoint()
-    prev_sig = None
+    singletons back; see plans/linkage.py).
+
+    checkpoint_dir: if given, rounds use RELIABLE `checkpoint()` into it
+    (survives executor loss — required on a real cluster); default is
+    `localCheckpoint` (local-mode / test speed)."""
+    spark = links.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    edges = ckpt(
+        _symmetrize(
+            links.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        )
+    )
     for _ in range(max_iter):
-        edges = _star(_star(edges, large=True), large=False)
-        edges = edges.localCheckpoint()  # cut lineage every round
-        sig = _signature(edges)
-        if sig == prev_sig:
+        edges = _star(_star(edges, large=True, dedup=False), large=False)
+        edges = ckpt(edges)  # cut lineage every round
+        if _is_star_forest(edges):
             break
-        prev_sig = sig
     # fixpoint: edges are (member, root) stars
     comp = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = comp.select(F.col("component").alias("node"), F.col("component"))

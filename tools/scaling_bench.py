@@ -27,6 +27,19 @@ cores = int(sys.argv[1]); pages_dir = sys.argv[2]
 spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=max(cores, 8))
 pages = spark.read.parquet(pages_dir)
 pages.count()  # warm the scan/file listing outside the timed region
+
+# Warm-up: run the FULL pipeline on a small slice, untimed.  This spins
+# up every Python UDF worker (one numpy/pandas import per core — a
+# one-time ~1s/worker cost that hits the high-core run 4x harder), JIT-
+# compiles the codegen for every stage shape, and initializes shuffle/
+# broadcast machinery.  On a real cluster executors are long-lived and
+# all of this is amortized start-up, not throughput — the north rule
+# targets steady-state scaling.
+warm = run_linkage(spark, pages.limit(20000), cfg=LinkageConfig())
+warm["clusters"].write.format("noop").mode("overwrite").save()
+for df in warm.values():
+    df.unpersist()
+
 t0 = time.time()
 out = run_linkage(spark, pages, cfg=LinkageConfig())
 out["clusters"].write.format("noop").mode("overwrite").save()
