@@ -68,21 +68,25 @@ def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 # ------------------------------------------------------- jaro-winkler
 
-_JW_MAXLEN = 64  # truncation bound; blocking keys/titles are short
+# Safety bound on compared length, in utf-8 BYTES.  Callers pass short
+# prefixes (flagship: 32 codepoints ≤ 128 bytes); 256 covers 64 codepoints
+# of any script, so the bound never bites for our inputs — and the working
+# matrices shrink to the batch's true max length anyway (dynamic L below).
+_JW_MAXLEN = 256
 _JW_PREFIX_WEIGHT = 0.1
 _JW_BOOST_THRESHOLD = 0.7
 
 
 def _to_char_matrix(s: pd.Series, L: int) -> tuple[np.ndarray, np.ndarray]:
     """Series[str] → (uint8 matrix [N, L] zero-padded, lengths [N]).
-    Byte-wise (ascii-exact); one big frombuffer, no per-row loop."""
-    enc = (
-        s.fillna("")
-        .astype(str)
-        .str.slice(0, L)
-        .str.encode("utf-8")
-        .str.slice(0, L)  # cap BYTE length too (multi-byte chars)
-    )
+
+    BYTE-wise over utf-8 code units — deliberately: DuckDB's
+    jaro_winkler_similarity also operates on utf-8 bytes (verified by
+    property test: 'À' counts as 2 units there), so byte-wise is the
+    oracle-parity semantics.  Property-tested on multi-byte alphabets in
+    tests/test_property_similarity.py.  One big frombuffer, no per-row
+    loop."""
+    enc = s.fillna("").astype(str).str.slice(0, L).str.encode("utf-8").str.slice(0, L)
     lens = np.fromiter((len(x) for x in enc), dtype=np.int64, count=len(enc))
     buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
     mat = np.zeros((len(enc), L), dtype=np.uint8)
@@ -95,12 +99,15 @@ def _to_char_matrix(s: pd.Series, L: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def jaro_winkler_batch(sa: pd.Series, sb: pd.Series) -> np.ndarray:
-    """Standard Jaro-Winkler over a batch of string pairs.
+    """Standard Jaro-Winkler over a batch of string pairs, byte-wise on
+    utf-8 (see _to_char_matrix — DuckDB's semantics).
 
     Fully vectorized across the batch: the only Python loop is over the
-    ≤64 character positions (O(L) iterations of [N, L] numpy ops).
-    Matches DuckDB's jaro_winkler_similarity (boost threshold 0.7,
-    prefix weight 0.1, prefix cap 4) for oracle parity.
+    byte positions of the batch's longest string (O(L) iterations of
+    [N, L] numpy ops; L shrinks to the true batch max).  Matches DuckDB's
+    jaro_winkler_similarity (boost threshold 0.7, prefix weight 0.1,
+    prefix cap 4) for oracle parity — property-tested on ASCII and
+    multi-byte alphabets.
     """
     A, la = _to_char_matrix(sa, _JW_MAXLEN)
     B, lb = _to_char_matrix(sb, _JW_MAXLEN)

@@ -27,13 +27,46 @@ def normalize_text(col: Column) -> Column:
     """Canonical normalization: lower, strip control chars, collapse ws.
 
     Mirrors BasicTokenizer semantics (tokenization_bert.py:298-340) minus
-    accent stripping (see `strip_accents_udf` in similarity.py for the NFD
-    path, only used when configured — default pipeline keeps bytes stable).
+    accent stripping (`strip_accents_udf` below is the NFD path, applied
+    only when configured — the default pipeline keeps bytes stable per
+    the input_hint invariant).
     """
     c = F.lower(col)
     c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
     c = F.regexp_replace(c, _WS, " ")
     return F.trim(c)
+
+
+def strip_accents_batch(s):
+    """NFD accent stripping over a pandas batch — exact reference
+    semantics (BasicTokenizer._run_strip_accents,
+    tokenization_bert.py:345-356): NFD-decompose, drop combining marks
+    (category Mn).  Property-tested against Python unicodedata and
+    DuckDB's strip_accents."""
+    import unicodedata
+
+    def _strip(x: str) -> str:
+        return "".join(
+            c for c in unicodedata.normalize("NFD", x)
+            if unicodedata.category(c) != "Mn"
+        )
+
+    return s.fillna("").astype(str).map(_strip)
+
+
+def strip_accents_udf(col: Column) -> Column:
+    """Arrow-batched accent stripping (non-English corpora normalize
+    'café' and 'cafe\\u0301' to the same blocking keys).  Python-side by
+    necessity — Spark SQL has no Unicode-normalization builtin — but
+    batched per Arrow block, never per Spark row."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return strip_accents_batch(s)
+
+    return _udf(col)
 
 
 def tokens(col: Column) -> Column:

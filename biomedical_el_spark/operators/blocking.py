@@ -90,6 +90,51 @@ def embedding_blocks(
     return df.select("url", F.concat(F.lit("hp|"), key.cast("string")).alias("block_key"))
 
 
+def tfidf_blocks(
+    pages: DataFrame,
+    k_shingle: int = 3,
+    top_w: int = 2,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """pages → (url, block_key:string, df:bigint): each page keyed by its
+    `top_w` RAREST shingles (lowest document frequency = highest IDF).
+
+    The third recall channel, mirroring the reference's TF-IDF candidate
+    generation (utils_e2e_span.py:349-356, --use_tfidf_candidates): two
+    pages sharing a *rare* distinctive shingle become candidates even when
+    their overall Jaccard is far below what MinHash banding can catch.
+
+    Shingles with df = 1 are dropped BEFORE ranking: a globally-unique
+    shingle can never produce a candidate pair, and on web corpora the
+    overwhelming majority of shingles are unique — the filter is provably
+    lossless for pair generation and collapses the join/window input.
+    (Without it, 'rarest' degenerates to picking useless singletons.)
+
+    Plan shape at scale: explode distinct shingles (map-side), one
+    groupBy(shingle) for document frequency (partial aggs — the exchange
+    carries (shingle, count)), the df>=2 filter, an equi-join back on
+    shingle (skew-free: one row per (url, shingle)), and a per-url top-w
+    window.  No step materializes more than (url, shingle, df).
+    Determinism: ties broken by (df, shingle) — total order, so
+    retries/oracles agree."""
+    from pyspark.sql import Window
+
+    tok = X.tokens(X.normalize_text(F.col(text_col)))
+    doc_sh = pages.select(
+        F.col(id_col).alias("url"),
+        F.explode(F.array_distinct(X.shingles(tok, k_shingle))).alias("sh"),
+    )
+    dfreq = doc_sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") >= 2)
+    win = Window.partitionBy("url").orderBy("df", "sh")
+    return (
+        doc_sh.join(dfreq, "sh")
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= top_w)
+        .select("url", F.col("sh").alias("block_key"), "df")
+    )
+
+
 def block_stats(blocks: DataFrame) -> DataFrame:
     """Per-block size distribution — the skew observability input for
     salting decisions and the score-distribution metrics table."""

@@ -140,6 +140,31 @@ def _cached_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_tfidf_blocks",
+    f"""
+    WITH doc_sh AS (
+        SELECT DISTINCT doc_id, unnest(sh) AS sh FROM ({_SHINGLE_SQL})
+    ), dfreq AS (
+        SELECT sh, count(*) AS df FROM doc_sh GROUP BY sh HAVING count(*) >= 2
+    )
+    SELECT doc_id, sh AS block_key, df FROM (
+        SELECT doc_id, sh, df,
+               row_number() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rnk
+        FROM doc_sh JOIN dfreq USING (sh)
+    ) WHERE rnk <= 2
+    """,
+)
+def er_tfidf_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (rarest-shingle) blocking channel — the reference's third
+    candidate-generation mode (utils_e2e_span.py:349-356,
+    --use_tfidf_candidates) as document-frequency-weighted keys: each doc
+    keyed by its 2 rarest 3-shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    blk = B.tfidf_blocks(docs, k_shingle=3, top_w=2, id_col="doc_id")
+    return blk.select(F.col("url").alias("doc_id"), "block_key", "df")
+
+
+@register(
     "er_ngram_jaccard",
     f"""
     SELECT doc_a, doc_b,

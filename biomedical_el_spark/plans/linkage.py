@@ -39,6 +39,8 @@ class LinkageConfig:
     minhash_seed: int = 42
     use_embedding_blocks: bool = True
     hyperplanes: int = 12
+    use_tfidf_blocks: bool = False
+    tfidf_top_w: int = 2
     max_block_size: int = 64
     tau: float = 0.62
     jw_prefix: int = 32
@@ -86,6 +88,20 @@ def run_linkage(
                 features.select(
                     "url",
                     (F.lit(1 << 40) + key.cast("bigint")).alias("block_key"),
+                )
+            )
+        if cfg.use_tfidf_blocks:
+            # third recall channel (reference --use_tfidf_candidates):
+            # rare-shingle keys catch low-Jaccard pairs that share one
+            # distinctive phrase.  Hashed into their own key namespace —
+            # a 64-bit collision can only ADD a candidate pair.
+            from ..operators.blocking import tfidf_blocks
+
+            tf = tfidf_blocks(paged, top_w=cfg.tfidf_top_w)
+            blk = blk.unionByName(
+                tf.select(
+                    "url",
+                    F.xxhash64(F.lit("tfidf"), F.col("block_key")).alias("block_key"),
                 )
             )
         return blk

@@ -51,7 +51,19 @@ class SnapshotStore:
             return False
 
     def write(self, df: DataFrame, stage: str, fp: str, partition_by: list[str] | None = None) -> None:
-        """Materialize a stage output and commit it atomically."""
+        """Materialize a stage output and commit it atomically.
+
+        The old manifest is removed BEFORE the data overwrite starts: a
+        crash mid-overwrite must not leave a valid-looking manifest (old
+        fingerprint) pointing at partially rewritten data — that would
+        let a later resume under the old config silently read a corrupt
+        snapshot.  Crash windows: before unlink → old snapshot intact;
+        during write → no manifest, stage re-runs; after manifest rename
+        → new snapshot committed."""
+        try:
+            os.unlink(self._manifest_path(stage))
+        except FileNotFoundError:
+            pass
         path = os.path.join(self._dir(stage), "data")
         writer = df.write.mode("overwrite")
         if partition_by:

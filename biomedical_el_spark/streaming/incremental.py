@@ -32,6 +32,71 @@ def read_page_stream(spark: SparkSession, path: str, max_files: int = 10) -> Dat
     )
 
 
+def process_block_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    num_hashes: int = 32,
+    n_buckets: int = 64,
+) -> None:
+    """One micro-batch of incremental blocking.  Module-level (not a
+    closure) so idempotency is directly testable: calling it twice with
+    the same batch_id must leave the store unchanged.
+
+    Idempotency: outputs are partitioned by batch_id and written with
+    DYNAMIC partition overwrite — a retried micro-batch REPLACES its own
+    partition instead of appending duplicates (which would inflate block
+    sizes past the cap and duplicate pairs downstream).
+
+    Store pruning: the blocks store is additionally partitioned by
+    bucket = pmod(block_key, n_buckets), and the accumulated-store join
+    reads ONLY the partitions whose bucket appears in this batch — the
+    per-batch read scales with the batch's key coverage, not the corpus.
+    (On a cluster the store is an Iceberg table with a bloom filter on
+    block_key; parquet directory pruning is the local-mode equivalent.)
+    """
+    spark = batch_df.sparkSession
+    feats = page_features(batch_df, num_hashes=num_hashes)
+    keys = (
+        band_keys_from_sig(feats, bands, rows_per_band)
+        .withColumn("bucket", F.pmod(F.col("block_key"), F.lit(n_buckets)).cast("int"))
+        .persist()
+    )
+    (
+        keys.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "bucket")
+        .parquet(f"{store_dir}/blocks")
+    )
+    # incremental pairs: this batch's keys × accumulated keys, reading
+    # only the store buckets this batch can possibly match (pruned scan)
+    buckets = [r["bucket"] for r in keys.select("bucket").distinct().collect()]
+    acc = spark.read.parquet(f"{store_dir}/blocks").filter(
+        F.col("bucket").isin(buckets)
+    )
+    new_pairs = (
+        keys.withColumnRenamed("url", "url_a")
+        .join(acc.withColumnRenamed("url", "url_b"), "block_key")
+        .filter(F.col("url_a") != F.col("url_b"))
+        .select(
+            F.least("url_a", "url_b").alias("url_a"),
+            F.greatest("url_a", "url_b").alias("url_b"),
+        )
+        .distinct()
+    )
+    (
+        new_pairs.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{store_dir}/pairs")
+    )
+    keys.unpersist()
+
+
 def incremental_blocking(
     pages_stream: DataFrame,
     store_dir: str,
@@ -39,33 +104,19 @@ def incremental_blocking(
     bands: int = 16,
     rows_per_band: int = 2,
     num_hashes: int = 32,
+    n_buckets: int = 64,
 ):
-    """pages stream → append (url, block_key) micro-batches to the blocks
-    store, and emit new candidate pairs (new × accumulated) per batch.
-
-    foreachBatch gives exactly-once appends keyed by batch id (Spark
-    tracks committed batches in the checkpoint — the streaming analogue
-    of the SnapshotStore manifest).
-    """
+    """pages stream → blocks/pairs stores updated per micro-batch via
+    `process_block_batch` (idempotent batch_id-partitioned writes +
+    bucket-pruned accumulated join).  Spark's checkpoint tracks committed
+    batch ids — the streaming analogue of the SnapshotStore manifest;
+    together with the dynamic-overwrite sink a crash/retry at any point
+    converges to exactly-once output."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        feats = page_features(batch_df, num_hashes=num_hashes)
-        keys = band_keys_from_sig(feats, bands, rows_per_band)
-        keys.write.mode("append").parquet(f"{store_dir}/blocks")
-        # incremental pairs: this batch's keys × all accumulated keys
-        acc = spark.read.parquet(f"{store_dir}/blocks")
-        new_pairs = (
-            keys.withColumnRenamed("url", "url_a")
-            .join(acc.withColumnRenamed("url", "url_b"), "block_key")
-            .filter(F.col("url_a") != F.col("url_b"))
-            .select(
-                F.least("url_a", "url_b").alias("url_a"),
-                F.greatest("url_a", "url_b").alias("url_b"),
-            )
-            .distinct()
+        process_block_batch(
+            batch_df, batch_id, store_dir, bands, rows_per_band, num_hashes, n_buckets
         )
-        new_pairs.write.mode("append").parquet(f"{store_dir}/pairs")
 
     return (
         pages_stream.writeStream.foreachBatch(process)

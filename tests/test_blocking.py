@@ -25,6 +25,44 @@ def test_near_duplicates_share_blocks(spark, pages):
     assert intra / gold >= 0.97  # dual-channel blocking recall on true pairs
 
 
+def test_tfidf_channel_recall_delta(spark):
+    """Pairs sharing only ONE rare distinctive shingle (overall Jaccard
+    far below the banding threshold) are invisible to MinHash banding but
+    MUST be caught by the rare-shingle TF-IDF channel — the measured
+    recall delta that justifies the third channel (reference
+    --use_tfidf_candidates)."""
+    # 20 filler docs of common tokens; 2 pairs that share only a unique
+    # 3-shingle ("zq{i} zr{i} zs{i}") inside otherwise-disjoint text
+    common = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(f"f{i:02d}", f"{common} filler{i} note{i} extra{i}") for i in range(20)]
+    rows += [
+        ("pa1", "alpha beta gamma zq1 zr1 zs1 delta epsilon zeta eta theta iota"),
+        ("pa2", "kappa lambada mu zq1 zr1 zs1 nu xi omicron pi rho sigma"),
+        ("pb1", "tau upsilon phi zq2 zr2 zs2 chi psi omega one two three"),
+        ("pb2", "four five six zq2 zr2 zs2 seven eight nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    gold = {("pa1", "pa2"), ("pb1", "pb2")}
+
+    minhash = B.shingle_blocks(docs, num_hashes=32, bands=16, rows_per_band=2)
+    cand_mh, _ = P.candidate_pairs_grouped(minhash, 64)
+    got_mh = {tuple(r) for r in cand_mh.collect()} & gold
+
+    tf = B.tfidf_blocks(docs, k_shingle=3, top_w=2).select("url", "block_key")
+    cand_tf, _ = P.candidate_pairs_grouped(tf, 64)
+    got_tf = {tuple(r) for r in cand_tf.collect()} & gold
+
+    assert got_mh == set(), f"fixture too similar — banding already catches {got_mh}"
+    assert got_tf == gold, f"tfidf channel missed {gold - got_tf}"
+
+
+def test_tfidf_blocks_shape(spark, pages):
+    blk = B.tfidf_blocks(pages, top_w=2)
+    assert set(blk.columns) == {"url", "block_key", "df"}
+    per_url = blk.groupBy("url").count().agg(F.max("count")).collect()[0][0]
+    assert per_url <= 2
+
+
 def test_oversized_blocks_reported_not_silent(spark, pages):
     blocks = B.shingle_blocks(pages)
     _, oversized = P.candidate_pairs(blocks, max_block_size=3)
