@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "er_minhash_blocks",
+    "er_tfidf_blocks",
     "er_candidate_pairs",
     "d_near_dup_pairs",
     "er_simhash",

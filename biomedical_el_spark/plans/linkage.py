@@ -128,9 +128,11 @@ def run_linkage(
 
     def compute_clusters() -> DataFrame:
         comp = CC.connected_components(links)
-        # union singleton pages back in as their own cluster
+        # union singleton pages back in as their own cluster; node ids
+        # come from the (cached/snapshotted, narrow) features table — 1:1
+        # with pages, avoids re-scanning the wide pages relation
         singles = (
-            pages.select(F.col("url").alias("node"))
+            features.select(F.col("url").alias("node"))
             .join(comp, "node", "left_anti")
             .withColumn("component", F.col("node"))
         )

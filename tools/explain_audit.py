@@ -25,6 +25,12 @@ CHECKS = {
     "w_running_total": ["Window"],
     "er_exact_dedup": ["partial_count", "partial_min"],
     "er_minhash_blocks": ["partial_min", "Generate explode"],
+    # tfidf channel: df computed with map-side partial count, then a
+    # shuffle-key equi-join back on shingle, then the per-url top-w window
+    "er_tfidf_blocks": ["partial_count", "Window"],
+    # scale-path ANN: the bucket join must be an equi hash join, never a
+    # cartesian/broadcast-nested-loop
+    "ann_lsh_topk": ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
 }
 
 
