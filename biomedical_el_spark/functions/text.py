@@ -62,11 +62,13 @@ def strip_accents_udf(col: Column) -> Column:
     import pandas as pd
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.StringType())
-    def _udf(s: pd.Series) -> pd.Series:
+    def _fn(s):
         return strip_accents_batch(s)
 
-    return _udf(col)
+    # real class objects: `from __future__ import annotations` stringifies
+    # literal hints, which pandas_udf cannot resolve for nested functions
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(T.StringType())(_fn)(col)
 
 
 def tokens(col: Column) -> Column:
@@ -94,6 +96,53 @@ def shingles(tok: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
         )
     )
+
+
+def wordpiece_tokens(col: Column, vocab: list[str], max_word_chars: int = 100) -> Column:
+    """Greedy longest-match WordPiece over whitespace words — exact
+    reference semantics (WordpieceTokenizer.tokenize,
+    tokenization_bert.py:436-493): longest vocab prefix first, remainder
+    matched with a '##' continuation prefix, whole word → ['[UNK]'] if
+    any piece fails, words longer than max_word_chars → ['[UNK]'].
+
+    The vocab ships to workers once per task closure (broadcast-style, F5
+    vocab-map pattern); matching runs inside an Arrow-batched pandas UDF.
+    The per-word trie walk is inherently sequential (it IS the reference
+    algorithm) — this is the documented slow path, used for subword
+    token-count quality gates, never in the blocking/scoring hot path."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    vocab_set = frozenset(vocab)
+    max_piece = max((len(v) for v in vocab), default=1)
+
+    def _word(w: str) -> list[str]:
+        if len(w) > max_word_chars:
+            return ["[UNK]"]
+        out: list[str] = []
+        start = 0
+        while start < len(w):
+            end = min(len(w), start + max_piece + (2 if start > 0 else 0))
+            cur = None
+            while start < end:
+                piece = ("##" if start > 0 else "") + w[start:end]
+                if piece in vocab_set:
+                    cur = piece
+                    break
+                end -= 1
+            if cur is None:
+                return ["[UNK]"]
+            out.append(cur)
+            start = end
+        return out
+
+    def _fn(s):
+        return s.fillna("").astype(str).map(
+            lambda text: [p for w in text.split() for p in _word(w)]
+        )
+
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(T.ArrayType(T.StringType()))(_fn)(col)
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
