@@ -54,7 +54,7 @@ def main() -> None:
     from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
     from biomedical_el_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
 
     # untimed warmup: JVM/codegen/python-worker startup shouldn't be
     # attributed to whichever query happens to run first
