@@ -47,9 +47,15 @@ def shingle_blocks(
     # BEFORE the shuffle, so the exchange carries only (url, 16 longs).
     # (A nested transform/array_min expression re-evaluates inner lambdas
     # per outer element — measured 70× slower than this plan.)
+    # Tokens are MATERIALIZED into a column before shingling: `shingles`
+    # references its argument in every lambda element, and an inlined
+    # tokenize EXPRESSION is re-evaluated per shingle (measured 15× on
+    # this projection; same family as the nested-HOF trap above).
     ex = pages.select(
-        F.col(id_col).alias("url"),
-        F.explode(X.shingles(tok, k_shingle)).alias("s"),
+        F.col(id_col).alias("url"), tok.alias("tk")
+    ).select(
+        "url",
+        F.explode(X.shingles(F.col("tk"), k_shingle)).alias("s"),
     )
     if mode == "xxhash64":
         aggs = [
@@ -121,9 +127,13 @@ def tfidf_blocks(
     from pyspark.sql import Window
 
     tok = X.tokens(X.normalize_text(F.col(text_col)))
+    # two-step: materialize tokens, THEN shingle (see shingle_blocks note;
+    # inlining the tokenizer into the shingle lambdas measured 15× slower)
     doc_sh = pages.select(
-        F.col(id_col).alias("url"),
-        F.explode(F.array_distinct(X.shingles(tok, k_shingle))).alias("sh"),
+        F.col(id_col).alias("url"), tok.alias("tk")
+    ).select(
+        "url",
+        F.explode(F.array_distinct(X.shingles(F.col("tk"), k_shingle))).alias("sh"),
     )
     dfreq = doc_sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") >= 2)
     win = Window.partitionBy("url").orderBy("df", "sh")

@@ -49,8 +49,10 @@ def score_pairs(
     feats = pages.select(
         "url",
         embed_text(F.col("text")).alias("vec"),
-        X.shingles(X.tokens(X.normalize_text(F.col("text"))), k_shingle).alias("sh"),
+        X.tokens(X.normalize_text(F.col("text"))).alias("tk"),
         F.substring(F.col("text"), 1, jw_prefix).alias("prefix"),
+    ).select(
+        "url", "vec", X.shingles(F.col("tk"), k_shingle).alias("sh"), "prefix"
     )
     hydrated = salted_feature_join(
         pairs, feats, salt_buckets, feature_cols=("vec", "sh", "prefix")

@@ -113,11 +113,7 @@ _PAIRS_SQL = f"""
 """
 
 
-@register("er_candidate_pairs", _PAIRS_SQL)
-def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking → candidate pairs via the grouped generator (2 shuffles:
-    groupBy collect + pair-distinct) — same output as the join-based
-    4-shuffle plan (A/B-verified), ~2× faster."""
+def _build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = er_minhash_blocks(spark, sf_dir).withColumnRenamed("doc_id", "url")
     cand, _ = P.candidate_pairs_grouped(blocks, max_block_size=None)
     return cand.select(
@@ -135,8 +131,17 @@ _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _cached_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIR_CACHE:
-        _PAIR_CACHE[key] = er_candidate_pairs(spark, sf_dir).persist()
+        _PAIR_CACHE[key] = _build_pairs(spark, sf_dir).persist()
     return _PAIR_CACHE[key]
+
+
+@register("er_candidate_pairs", _PAIRS_SQL)
+def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking → candidate pairs via the grouped generator (2 shuffles:
+    groupBy collect + pair-distinct) — same output as the join-based
+    4-shuffle plan (A/B-verified), ~2× faster.  Served from the shared
+    per-session cache so the d_*/er_* family computes the chain once."""
+    return _cached_pairs(spark, sf_dir)
 
 
 @register(
@@ -182,10 +187,11 @@ def er_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise n-gram Jaccard verification of blocked candidates (the
     set-similarity leg of stage-2 scoring)."""
     docs = _t(spark, sf_dir, "documents")
+    # two-step: materialize tokens, then shingle (inlined tokenizer is
+    # re-evaluated per shingle lambda element — measured 15x slower)
     sh = docs.select(
-        "doc_id",
-        X.shingles(X.tokens(X.normalize_text(F.col("text"))), 3).alias("sh"),
-    )
+        "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("tk")
+    ).select("doc_id", X.shingles(F.col("tk"), 3).alias("sh"))
     pairs = _cached_pairs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -883,8 +889,8 @@ def d_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", X.shingles(X.tokens(X.normalize_text(F.col("text"))), 3).alias("sh")
-    )
+        "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("tk")
+    ).select("doc_id", X.shingles(F.col("tk"), 3).alias("sh"))
     pairs = _cached_pairs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
