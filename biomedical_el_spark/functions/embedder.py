@@ -95,8 +95,11 @@ def hyperplane_bucket_sql(col: str, num_planes: int = 4, seed: int = 7, dim: int
     planes = seeded_planes(num_planes, seed, dim)
     parts = []
     for p in range(num_planes):
+        # float() before !r: numpy>=2 reprs np.float64 as 'np.float64(x)',
+        # which is not SQL; Python float repr is shortest-round-trip, so
+        # the literal parses back to the bit-identical double either way.
         dot = " + ".join(
-            f"{col}[{d + 1}]::DOUBLE * {planes[d, p]!r}" for d in range(dim)
+            f"{col}[{d + 1}]::DOUBLE * {float(planes[d, p])!r}" for d in range(dim)
         )
         parts.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"

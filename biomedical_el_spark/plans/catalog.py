@@ -124,12 +124,33 @@ def _build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cache of the blocks→pairs chain shared by the er_*/d_* family: five
 # catalog queries re-derive identical shingle/minhash/pair relations; at
 # bench scale that doubles the md5-chain cost for no semantic reason.
-# Keyed by (applicationId, sf_dir); persisted, bounded (pairs are small).
+# Keyed by (applicationId, sf_dir); persisted.  Entries from other
+# applicationIds are evicted (unpersisted) on access so a long-lived
+# process cycling sessions can't accumulate pinned relations, and
+# `clear_pair_cache()` lets a driver sweeping many sf_dirs release
+# storage between corpora.
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_pair_cache() -> None:
+    """Unpersist and drop every cached pairs relation."""
+    for df in _PAIR_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing pinned anymore
+    _PAIR_CACHE.clear()
+
+
 def _cached_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PAIR_CACHE if k[0] != app_id]:
+        stale = _PAIR_CACHE.pop(k)
+        try:
+            stale.unpersist()
+        except Exception:
+            pass  # its SparkContext is gone; entry is just dropped
+    key = (app_id, sf_dir)
     if key not in _PAIR_CACHE:
         _PAIR_CACHE[key] = _build_pairs(spark, sf_dir).persist()
     return _PAIR_CACHE[key]
@@ -380,17 +401,20 @@ def _lsh_oracle_sql() -> str:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — the scale path: hyperplane bucket equi-join
     instead of cross join; brute-force rescoring only within buckets.
-    Bucket keys come from `hyperplane_bucket_expr` (pure JVM expression,
-    seeded literal planes) so the whole query is oracle-checkable; the
-    flagship pipeline uses the batched numpy UDF form of the same planes
-    (`hyperplane_lsh_udf`) where matmul throughput matters.
+    Bucket keys come from the batched numpy UDF (`hyperplane_lsh_udf`,
+    one matmul per Arrow batch); the DuckDB oracle renders the SAME
+    seeded planes as literal SQL (`hyperplane_bucket_sql`), and
+    tests/test_ann.py proves the two forms assign identical buckets —
+    so the query stays fully oracle-checkable without paying for the
+    256-term interpreted literal expression on the Spark side (which
+    fell out of whole-stage codegen and ran 3.4× slower).
     Recall vs brute force is additionally floor-gated in
-    tests/test_linking.py (single-probe recall@5)."""
-    from ..functions.embedder import hyperplane_bucket_expr
+    tests/test_ann.py (single-probe recall@5)."""
+    from ..functions.embedder import hyperplane_lsh_udf
 
     emb = _t(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    key = hyperplane_bucket_expr(F.col("embedding"), num_planes=4, seed=7)
+    key = hyperplane_lsh_udf(num_planes=4, seed=7)(F.col("embedding"))
     keyed = emb.select("vec_id", dbl.alias("v"), key.alias("bucket"))
     q = keyed.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"

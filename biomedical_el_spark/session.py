@@ -92,6 +92,9 @@ def get_spark(
         # two 1GB sorts a sort-merge join would do (measured ~2× on the
         # scoring stage)
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # reliable-checkpoint files (CC rounds) are never deleted by Spark
+        # by default; let the ContextCleaner reap them once the RDD is GC'd
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in _MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

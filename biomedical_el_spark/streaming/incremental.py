@@ -9,17 +9,39 @@ candidate pairs are emitted by joining the micro-batch's keys against
 the accumulated key store — incremental ER without recomputing old
 blocks.
 
+Store layout is BUCKET-FIRST (`bucket=<b>/batch_id=<n>`): the per-batch
+accumulated join reads only the bucket directories the batch's keys can
+possibly match, so listing + rows-read scale with the batch's key
+coverage, not with how many batches the store has accumulated (the
+batch-first layout had to list every batch directory to prune).  On a
+cluster the store is an Iceberg table with a bloom filter on block_key;
+explicit bucket-directory selection is the local-parquet equivalent.
+
+Pairs are exactly-once ACROSS batches, not just per batch partition: a
+re-crawled url in a later micro-batch regenerates pairs an earlier batch
+already committed, so new pairs are anti-joined against the committed
+pairs store (pruned to the same pair-hash buckets) before writing.
+
+`compact_blocks_store` merges a bucket's many small per-batch files into
+one `batch_id=-1` partition — the local-mode analogue of Iceberg
+`rewrite_data_files`; run it between triggers.
+
 Also provides the watermarked windowed ingest-rate aggregation
 (`pages_per_window`) — the standard late-data-tolerant stream metric.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.features import band_keys_from_sig, page_features
 from ..sources.pages import PAGES_SCHEMA
+
+COMPACTED_BATCH_ID = -1
 
 
 def read_page_stream(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:
@@ -30,6 +52,23 @@ def read_page_stream(spark: SparkSession, path: str, max_files: int = 10) -> Dat
         .option("maxFilesPerTrigger", max_files)
         .parquet(path)
     )
+
+
+def read_store_buckets(
+    spark: SparkSession, store: str, buckets: list[int], col: str = "bucket"
+) -> DataFrame | None:
+    """Read ONLY the given bucket directories of a bucket-first store.
+
+    Explicit directory selection instead of a `.filter(bucket.isin(...))`
+    on the full store: pruning is then guaranteed by construction (and
+    directly testable as rows-read), not dependent on Catalyst partition
+    pruning, and the file listing never touches uncovered buckets.
+    Returns None when none of the buckets exist yet (empty store)."""
+    paths = [f"{store}/{col}={b}" for b in sorted(set(buckets))]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return None
+    return spark.read.option("basePath", store).parquet(*paths)
 
 
 def process_block_batch(
@@ -45,17 +84,17 @@ def process_block_batch(
     closure) so idempotency is directly testable: calling it twice with
     the same batch_id must leave the store unchanged.
 
-    Idempotency: outputs are partitioned by batch_id and written with
-    DYNAMIC partition overwrite — a retried micro-batch REPLACES its own
-    partition instead of appending duplicates (which would inflate block
-    sizes past the cap and duplicate pairs downstream).
+    Idempotency: outputs are partitioned `bucket/batch_id` and written
+    with DYNAMIC partition overwrite — a retried micro-batch REPLACES its
+    own (bucket, batch_id) leaves instead of appending duplicates.
+    Features are deterministic, so a retry covers the same buckets.
 
-    Store pruning: the blocks store is additionally partitioned by
-    bucket = pmod(block_key, n_buckets), and the accumulated-store join
-    reads ONLY the partitions whose bucket appears in this batch — the
-    per-batch read scales with the batch's key coverage, not the corpus.
-    (On a cluster the store is an Iceberg table with a bloom filter on
-    block_key; parquet directory pruning is the local-mode equivalent.)
+    Exactly-once pairs: new pairs are anti-joined against pairs already
+    committed by EARLIER batches (own batch_id excluded, so a retry that
+    half-wrote its partition still re-emits its own pairs) before
+    writing.  The committed-pairs read is pruned to the new pairs'
+    pair-hash buckets, so this check also scales with the batch, not the
+    corpus.
     """
     spark = batch_df.sparkSession
     feats = page_features(batch_df, num_hashes=num_hashes)
@@ -68,15 +107,17 @@ def process_block_batch(
         keys.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "bucket")
+        .partitionBy("bucket", "batch_id")
         .parquet(f"{store_dir}/blocks")
     )
     # incremental pairs: this batch's keys × accumulated keys, reading
-    # only the store buckets this batch can possibly match (pruned scan)
+    # only the store buckets this batch can possibly match.  The bucket
+    # list is bounded by n_buckets (a collect of ≤64 ints, not data).
     buckets = [r["bucket"] for r in keys.select("bucket").distinct().collect()]
-    acc = spark.read.parquet(f"{store_dir}/blocks").filter(
-        F.col("bucket").isin(buckets)
-    )
+    acc = read_store_buckets(spark, f"{store_dir}/blocks", buckets)
+    if acc is None:  # empty micro-batch: nothing to pair
+        keys.unpersist()
+        return
     new_pairs = (
         keys.withColumnRenamed("url", "url_a")
         .join(acc.withColumnRenamed("url", "url_b"), "block_key")
@@ -86,15 +127,64 @@ def process_block_batch(
             F.greatest("url_a", "url_b").alias("url_b"),
         )
         .distinct()
+        .withColumn(
+            "pbucket",
+            F.pmod(F.xxhash64("url_a", "url_b"), F.lit(n_buckets)).cast("int"),
+        )
+        .persist()  # read twice: bucket list, then the anti-join + write
     )
+    pair_buckets = [r["pbucket"] for r in new_pairs.select("pbucket").distinct().collect()]
+    prev = read_store_buckets(spark, f"{store_dir}/pairs", pair_buckets, col="pbucket")
+    out_pairs = new_pairs
+    if prev is not None:
+        committed = prev.filter(F.col("batch_id") != batch_id).select(
+            "url_a", "url_b"
+        )
+        out_pairs = new_pairs.join(committed, ["url_a", "url_b"], "left_anti")
     (
-        new_pairs.withColumn("batch_id", F.lit(batch_id))
+        out_pairs.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy("pbucket", "batch_id")
         .parquet(f"{store_dir}/pairs")
     )
+    new_pairs.unpersist()
     keys.unpersist()
+
+
+def compact_blocks_store(
+    spark: SparkSession, store_dir: str, n_buckets: int = 64
+) -> None:
+    """Merge every bucket's accumulated per-batch files into a single
+    `batch_id=-1` partition per bucket (one file per bucket) — the
+    local-parquet analogue of Iceberg `rewrite_data_files`.
+
+    Run BETWEEN triggers (it is a maintenance op, not part of a batch):
+    the rewrite-then-swap is not atomic on a local filesystem, so it must
+    not race the stream; on a cluster use a table format with atomic
+    commit instead.  Safe with the streaming checkpoint: committed
+    batches never re-run, so their rows live only in the compacted
+    partition afterward; an in-flight batch retried later rewrites only
+    its own (bucket, batch_id) leaves, which compaction never absorbed.
+    """
+    base = f"{store_dir}/blocks"
+    if not os.path.isdir(base):
+        return
+    tmp = f"{store_dir}/blocks_compacting"
+    old = f"{store_dir}/blocks_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        spark.read.parquet(base)
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "batch_id")
+        .parquet(tmp)
+    )
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def incremental_blocking(
@@ -107,11 +197,13 @@ def incremental_blocking(
     n_buckets: int = 64,
 ):
     """pages stream → blocks/pairs stores updated per micro-batch via
-    `process_block_batch` (idempotent batch_id-partitioned writes +
-    bucket-pruned accumulated join).  Spark's checkpoint tracks committed
-    batch ids — the streaming analogue of the SnapshotStore manifest;
-    together with the dynamic-overwrite sink a crash/retry at any point
-    converges to exactly-once output."""
+    `process_block_batch` (idempotent bucket/batch_id dynamic-overwrite
+    writes + bucket-pruned accumulated join + cross-batch pair
+    anti-join).  Spark's checkpoint tracks committed batch ids — the
+    streaming analogue of the SnapshotStore manifest; together with the
+    dynamic-overwrite sink a crash/retry at any point converges to
+    exactly-once output, including for re-crawled urls seen again in
+    later batches."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_block_batch(

@@ -79,18 +79,136 @@ def test_incremental_batch_retry_is_idempotent(spark, tmp_path):
     assert raw == dedup
 
 
-def test_incremental_store_read_is_pruned(spark, tmp_path):
+def test_incremental_store_rows_read_scales_with_coverage(spark, tmp_path):
     """The accumulated-store join must NOT read the whole corpus per
-    batch: the scan of blocks is partition-pruned to the batch's buckets
-    (observable as a partition filter on `bucket` in the plan)."""
-    from biomedical_el_spark.streaming.incremental import process_block_batch
+    batch.  With the bucket-first layout, a small batch covering k of
+    n_buckets buckets reads ~k/n of the store's rows (and lists only
+    those bucket directories) — rows read scale with the batch's key
+    coverage, not with corpus size.  Fixture: a 10× corpus already in
+    the store, then a small batch."""
+    from biomedical_el_spark.streaming.incremental import (
+        process_block_batch,
+        read_store_buckets,
+    )
 
     store = str(tmp_path / "store_prune")
+    n_buckets = 256
+    corpus = generate_pages(spark, 600, cluster_size=4).drop("entity_id").cache()
+    small = corpus.limit(8).cache()
+    # 10× corpus committed first; bands=4 keeps the small batch's bucket
+    # coverage well under n_buckets (8 pages × 4 band keys ≤ 32 buckets)
+    process_block_batch(
+        corpus, 0, store, bands=4, rows_per_band=8, n_buckets=n_buckets
+    )
+    process_block_batch(
+        small, 1, store, bands=4, rows_per_band=8, n_buckets=n_buckets
+    )
+    blocks = spark.read.parquet(store + "/blocks")
+    total_rows = blocks.count()
+    covered = [
+        r["bucket"]
+        for r in blocks.filter(F.col("batch_id") == 1)
+        .select("bucket")
+        .distinct()
+        .collect()
+    ]
+    assert 0 < len(covered) <= 32
+    acc = read_store_buckets(spark, store + "/blocks", covered)
+    rows_read = acc.count()
+    # every listed file is under a covered bucket directory …
+    assert all(
+        any(f"/bucket={b}/" in f for b in covered) for f in acc.inputFiles()
+    )
+    # … and the read is a small, coverage-proportional slice of the store
+    frac = len(covered) / n_buckets
+    assert rows_read <= total_rows * frac * 2.5
+    assert rows_read < total_rows / 2
+
+
+def test_recrawled_url_pairs_exactly_once(spark, tmp_path):
+    """A url re-crawled in a later micro-batch regenerates pairs an
+    earlier batch already committed; the anti-join against the committed
+    pairs store must keep the store exactly-once ACROSS batch partitions
+    (not merely within each)."""
+    from biomedical_el_spark.streaming.incremental import process_block_batch
+
+    store = str(tmp_path / "store_recrawl")
     pages = generate_pages(spark, 60, cluster_size=4).drop("entity_id").cache()
-    process_block_batch(pages, 0, store, n_buckets=4)
-    acc = spark.read.parquet(store + "/blocks").filter(F.col("bucket").isin([1]))
-    plan = acc._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "bucket" in plan
+    b0 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).cache()
+    b1_new = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    b1 = b1_new.unionByName(b0.limit(10)).cache()  # 10 re-crawled urls
+    process_block_batch(b0, 0, store)
+    process_block_batch(b1, 1, store)
+    raw = spark.read.parquet(store + "/pairs")
+    dup_across = (
+        raw.groupBy("url_a", "url_b")
+        .agg(F.countDistinct("batch_id").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert dup_across == 0
+    assert raw.count() == raw.select("url_a", "url_b").distinct().count()
+    # the re-crawl lost nothing: batch-pipeline pairs are still covered
+    from biomedical_el_spark.operators.features import (
+        band_keys_from_sig,
+        page_features,
+    )
+    from biomedical_el_spark.operators.pairs import candidate_pairs_grouped
+
+    batch_pairs, _ = candidate_pairs_grouped(
+        band_keys_from_sig(page_features(pages), 16, 2), max_block_size=None
+    )
+    missing = batch_pairs.exceptAll(raw.select("url_a", "url_b"))
+    assert missing.count() == 0
+
+
+def test_compact_blocks_store(spark, tmp_path):
+    """Compaction merges per-batch files into one batch_id=-1 partition
+    per bucket: same rows, far fewer files, and the stream keeps working
+    against the compacted store (new batch still pairs with old keys)."""
+    import glob
+
+    from biomedical_el_spark.streaming.incremental import (
+        compact_blocks_store,
+        process_block_batch,
+    )
+
+    store = str(tmp_path / "store_compact")
+    pages = generate_pages(spark, 90, cluster_size=4).drop("entity_id").cache()
+    shards = [
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i).cache()
+        for i in range(3)
+    ]
+    process_block_batch(shards[0], 0, store, n_buckets=8)
+    process_block_batch(shards[1], 1, store, n_buckets=8)
+    before = {  # materialize: compaction replaces the files on disk
+        (r["url"], r["block_key"])
+        for r in spark.read.parquet(store + "/blocks")
+        .select("url", "block_key")
+        .collect()
+    }
+    files_before = len(glob.glob(store + "/blocks/**/*.parquet", recursive=True))
+    compact_blocks_store(spark, store, n_buckets=8)
+    after = spark.read.parquet(store + "/blocks")
+    assert after.count() == len(before)
+    got = {
+        (r["url"], r["block_key"])
+        for r in after.select("url", "block_key").collect()
+    }
+    assert got == before
+    assert set(
+        r["batch_id"] for r in after.select("batch_id").distinct().collect()
+    ) == {-1}
+    files_after = len(glob.glob(store + "/blocks/**/*.parquet", recursive=True))
+    assert files_after < files_before
+    # stream continues: a new batch pairs against the compacted store
+    process_block_batch(shards[2], 2, store, n_buckets=8)
+    pairs = spark.read.parquet(store + "/pairs").select("url_a", "url_b")
+    s2_urls = {r["url"] for r in shards[2].select("url").collect()}
+    touching = pairs.filter(
+        F.col("url_a").isin(s2_urls) | F.col("url_b").isin(s2_urls)
+    )
+    assert touching.count() > 0
 
 
 def test_pages_per_window_watermark(spark, tmp_path):
