@@ -31,9 +31,39 @@ def page_features(
     prefix_len: int = 64,
     id_col: str = "url",
     text_col: str = "text",
+    normalize_accents: bool = False,
 ) -> DataFrame:
     """Compute (url, vec, sig, prefix) in one scalar-iterator pandas UDF
-    over Arrow batches — model/config init once per worker."""
+    over Arrow batches — model/config init once per worker.
+
+    normalize_accents=True NFD-strips combining marks (reference
+    BasicTokenizer semantics, tokenization_bert.py:345-356) INSIDE the
+    same Arrow pass before embedding/minhash AND for the JW prefix, so
+    'café' (NFC) and 'cafe\\u0301' (NFD) land in the same blocks and
+    score identically.  Off by default: the stored page text stays
+    byte-identical (input_hint invariant), and normalization is a
+    key-derivation choice for non-English corpora, not an ingest mutation.
+    """
+    if normalize_accents:
+        from ..functions.text import strip_accents_batch
+
+        @F.pandas_udf(f"vec array<float>, sig array<bigint>, prefix string")
+        def feats_norm(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for texts in batches:
+                texts = strip_accents_batch(texts)
+                vecs = _embed_batch(texts, DIM)
+                sigs = minhash_batch(texts, num_hashes, seed).astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "vec": list(vecs),
+                        "sig": list(sigs),
+                        "prefix": texts.str.slice(0, prefix_len),
+                    }
+                )
+
+        return pages.select(
+            F.col(id_col).alias("url"), feats_norm(F.col(text_col)).alias("f")
+        ).select("url", "f.vec", "f.sig", "f.prefix")
 
     @F.pandas_udf(f"vec array<float>, sig array<bigint>")
     def feats(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

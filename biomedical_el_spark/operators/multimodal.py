@@ -1,22 +1,36 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata; decode / feature-extract as Arrow-batched stubs.
+with typed metadata; decode / feature-extract as Arrow-batched UDFs.
 
-The Spark-side contract is real and tested (schemas, partitioning, UDF
-signatures, batch shapes); the actual media decoding is stubbed because
-the image/audio libraries are not in this container — `decode_frames`
-raises NotImplementedError unless `fake=True`, in which case it produces
-a deterministic fake feature vector so the distributed plumbing can be
-exercised end to end.
+Three decode tiers, most→least capable:
+1. `extract_features(..., use_pil=True)` — real pixel decode via PIL,
+   gated behind an import-try (PIL is absent from this container; the
+   test is SKIPPED, not faked, in that case).
+2. `decode_image_meta` — REAL container-format parsing (PNG IHDR,
+   GIF logical screen, BMP info header, JPEG SOF scan) in pure stdlib
+   Python: width/height/format from the actual bytes, no external libs,
+   exercised against generated-on-the-fly valid PNGs/GIFs/BMPs in tests.
+3. `extract_features(..., fake=True)` — deterministic byte-fold stub so
+   the distributed plumbing (schema, partitioning, batch shape) is
+   testable even for payloads that aren't real media.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional dependency: real pixel decoding
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 
 def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -34,8 +48,61 @@ def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     )
 
 
+def _parse_image_header(data: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from real container bytes; ("unknown",-1,-1)
+    when no known magic matches.  Pure stdlib — this is genuine format
+    parsing, not a stub: wrong bytes give wrong/absent dimensions."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24 and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", w, h
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", w, h
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    if data[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOF
+        i = 2
+        while i + 9 < len(data) and data[i] == 0xFF:
+            marker, seglen = data[i + 1], struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seglen
+        return "jpeg", -1, -1
+    return "unknown", -1, -1
+
+
+def decode_image_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Real image-container decode (no external libs): format + pixel
+    dimensions parsed from the payload bytes via mapInPandas.  The
+    general-purpose metadata tier between `binary_metadata` (byte-level,
+    pure JVM) and `extract_features(use_pil=True)` (full pixel decode,
+    optional dependency)."""
+    schema = f"{id_col} long, format string, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_parse_image_header(bytes(p)) for p in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [t[0] for t in parsed],
+                    "width": np.array([t[1] for t in parsed], dtype=np.int32),
+                    "height": np.array([t[2] for t in parsed], dtype=np.int32),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
 def extract_features(
-    df: DataFrame, id_col: str, bin_col: str, dim: int = 16, fake: bool = True
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    dim: int = 16,
+    fake: bool = True,
+    use_pil: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
@@ -43,16 +110,44 @@ def extract_features(
     Iterator[pd.DataFrame[(id, features: list<float>, n_bytes: long)]].
     Partitioning is preserved (narrow op); at scale repartition by a
     bucket of id first so decode cost spreads evenly.
+
+    use_pil=True: REAL pixel decode — grayscale-resize to dim×1 via PIL
+    (optional dependency; raises ImportError when absent).  Otherwise
+    fake=True gives the deterministic byte-fold stub.
     """
 
     schema = f"{id_col} long, features array<float>, n_bytes long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-worker init point: load the real decoder model here
+        if use_pil:
+            if not HAS_PIL:
+                raise ImportError(
+                    "extract_features(use_pil=True) needs Pillow; install it "
+                    "or use decode_image_meta / fake=True"
+                )
+            import io
+
+            for pdf in batches:
+                feats, lens = [], []
+                for p in pdf[bin_col]:
+                    img = _PILImage.open(io.BytesIO(bytes(p))).convert("L")
+                    px = np.asarray(img.resize((dim, 1)), dtype=np.float32)
+                    feats.append(px.reshape(-1) / 255.0)
+                    lens.append(len(p))
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "features": feats,
+                        "n_bytes": np.array(lens, dtype=np.int64),
+                    }
+                )
+            return
         if not fake:
             raise NotImplementedError(
                 "media decoding requires image/audio libs not present in "
-                "this container; pass fake=True for the deterministic stub"
+                "this container; pass fake=True for the deterministic stub "
+                "or use_pil=True with Pillow installed"
             )
         for pdf in batches:
             payloads = pdf[bin_col]

@@ -436,6 +436,88 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
 
 
+def _multiprobe_oracle_sql(num_planes: int = 4) -> str:
+    """DuckDB oracle for the multi-probe LSH ANN: candidate set is the
+    union of the query's own bucket and its `num_planes` single-bit-flip
+    neighbor buckets — rendered as an IN-list join condition over the
+    same seeded literal plane expressions as the single-probe oracle."""
+    from ..functions.embedder import hyperplane_bucket_sql
+
+    bucket_a = hyperplane_bucket_sql("a.embedding", num_planes=num_planes, seed=7)
+    bucket_b = bucket_a.replace("a.embedding", "b.embedding")
+    probes = ", ".join(
+        [bucket_a] + [f"xor({bucket_a}, {1 << p})" for p in range(num_planes)]
+    )
+    return f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+               / ({_NORM_A} * {_NORM_B}) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON {bucket_b} IN ({probes})
+        WHERE a.vec_id % 20 = 0 AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register("ann_multiprobe_topk", None)  # oracle attached right below
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN — the production recall/cost point between
+    single-probe LSH (recall@5 ≈ 0.13 on near-random vectors) and brute
+    force (recall 1.0, quadratic; reference all-candidates scoring,
+    utils_e2e_span.py:417-426).  The QUERY side explodes to its own
+    bucket plus the `num_planes` buckets reachable by flipping one
+    hyperplane sign — the classic multi-probe trick: probing neighbor
+    buckets instead of building more hash tables, so the candidate join
+    stays an equi-join (never all-pairs) and the index is built once.
+    Each candidate vector lives in exactly one bucket and probe keys are
+    distinct, so no (query, neighbor) dedup is needed.  Expected recall
+    lift at cos≈0.3: p^4 → p^4 + 4p^3(1-p) ≈ 0.13 → ~0.47 (p = 1-θ/π);
+    measured value is floor-gated in tests/test_ann.py and the
+    recall-vs-cost curve is recorded in BENCH.md."""
+    from ..functions.embedder import hyperplane_lsh_udf
+
+    num_planes = 4
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    key = hyperplane_lsh_udf(num_planes=num_planes, seed=7)(F.col("embedding"))
+    keyed = emb.select("vec_id", dbl.alias("v"), key.alias("bucket"))
+    probe_set = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    )
+    q = (
+        keyed.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probe_set).alias("bucket"),
+        )
+    )
+    c = keyed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ORACLES["ann_multiprobe_topk"] = _multiprobe_oracle_sql()
+
+
 @register(
     "ann_label_top1",
     f"""

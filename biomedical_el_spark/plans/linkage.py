@@ -45,6 +45,12 @@ class LinkageConfig:
     tau: float = 0.62
     jw_prefix: int = 32
     weights: dict = field(default_factory=lambda: dict(S.DEFAULT_WEIGHTS))
+    # NFD accent-strip before key derivation (blocking + JW prefix) — for
+    # non-English corpora where 'café' appears in both NFC and NFD
+    normalize_accents: bool = False
+    # reliable CC checkpoint dir (HDFS/object store on a cluster);
+    # None = localCheckpoint (local-mode speed, not executor-loss safe)
+    checkpoint_dir: str | None = None
 
 
 def run_linkage(
@@ -57,7 +63,11 @@ def run_linkage(
     """Run (or resume) the full pipeline; returns all stage DataFrames."""
     cfg = cfg or LinkageConfig()
     assert cfg.bands * cfg.rows_per_band == cfg.num_hashes
-    cfg_fp = fingerprint(asdict(cfg), input_fingerprint)
+    cfg_dict = asdict(cfg)
+    # execution detail, not semantics: the same pipeline run with reliable
+    # vs local checkpoints must share (and be resumable from) snapshots
+    cfg_dict.pop("checkpoint_dir")
+    cfg_fp = fingerprint(cfg_dict, input_fingerprint)
 
     def snap(stage: str, compute, partition_by=None) -> DataFrame:
         if store is None:
@@ -75,7 +85,11 @@ def run_linkage(
     features = snap(
         "features",
         lambda: page_features(
-            paged, cfg.num_hashes, cfg.minhash_seed, prefix_len=cfg.jw_prefix
+            paged,
+            cfg.num_hashes,
+            cfg.minhash_seed,
+            prefix_len=cfg.jw_prefix,
+            normalize_accents=cfg.normalize_accents,
         ),
     )
 
@@ -127,7 +141,7 @@ def run_linkage(
     links = snap("links", lambda: S.match_links(scored, cfg.tau))
 
     def compute_clusters() -> DataFrame:
-        comp = CC.connected_components(links)
+        comp = CC.connected_components(links, checkpoint_dir=cfg.checkpoint_dir)
         # union singleton pages back in as their own cluster; node ids
         # come from the (cached/snapshotted, narrow) features table — 1:1
         # with pages, avoids re-scanning the wide pages relation

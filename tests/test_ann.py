@@ -33,6 +33,33 @@ def test_lsh_topk_recall_floor(spark):
     assert recall >= 0.09, f"single-probe recall@5 below chance+margin: {recall:.3f}"
 
 
+def test_multiprobe_recall_beats_single_probe(spark):
+    """Multi-probe (own bucket + num_planes single-bit-flip neighbors)
+    must recover most of the recall single-probe loses: predicted
+    recall@5 at the fixture's cos≈0.3 neighbor distance is
+    p^4 + 4p^3(1-p) ≈ 0.47 (vs 0.13 single-probe).  Floor 0.35 keeps
+    margin for fixture variance; the superset property (multi-probe
+    candidates ⊇ single-probe candidates per query) is exact, so recall
+    must also be >= single-probe's."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.ann_lsh_topk(spark, SF_DIR).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.ann_multiprobe_topk(spark, SF_DIR).collect()
+    }
+    assert brute, "brute-force baseline returned nothing"
+    r_single = len(brute & single) / len(brute)
+    r_multi = len(brute & multi) / len(brute)
+    assert r_multi >= 0.35, f"multi-probe recall@5 too low: {r_multi:.3f}"
+    assert r_multi >= r_single, (r_multi, r_single)
+
+
 def test_lsh_bucket_expr_matches_udf(spark):
     """The JVM-expression bucketing (oracle-checkable) and the batched
     numpy UDF (flagship scale path) must assign identical buckets — they

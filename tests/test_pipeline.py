@@ -65,3 +65,68 @@ def test_deterministic_rerun(spark, pages):
     l1 = {tuple(r) for r in out1["links"].select("url_a", "url_b").collect()}
     l2 = {tuple(r) for r in out2["links"].select("url_a", "url_b").collect()}
     assert l1 == l2
+
+
+def test_normalize_accents_blocking_keys(spark):
+    """cfg.normalize_accents: an NFC 'café' page and its NFD
+    'cafe\\u0301' twin must share blocking keys when enabled (identical
+    minhash sigs -> identical band keys) and share none when disabled
+    (every shingle contains the differing bytes)."""
+    from biomedical_el_spark.operators.features import (
+        band_keys_from_sig,
+        page_features,
+    )
+
+    body = "café menu du café bistro"          # NFC é
+    body_nfd = "café menu du café bistro"   # NFD e + combining acute
+    assert body != body_nfd
+    pages = spark.createDataFrame(
+        [("u_nfc", body), ("u_nfd", body_nfd)], "url string, text string"
+    )
+    for normalize, expect_shared in ((True, True), (False, False)):
+        feats = page_features(pages, normalize_accents=normalize)
+        keys = band_keys_from_sig(feats, 16, 2)
+        a = {r["block_key"] for r in keys.filter(F.col("url") == "u_nfc").collect()}
+        b = {r["block_key"] for r in keys.filter(F.col("url") == "u_nfd").collect()}
+        assert bool(a & b) is expect_shared, (normalize, a & b)
+        if normalize:
+            assert a == b  # fully identical signatures
+
+
+def test_normalize_accents_end_to_end_cluster(spark):
+    """With normalize_accents on, the NFC/NFD twins cluster together
+    through the full pipeline (blocks -> score -> tau -> CC)."""
+    from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
+
+    body = "café menu du café bistro au bord de la seine"
+    pages = spark.createDataFrame(
+        [
+            ("u_nfc", body),
+            ("u_nfd", body.replace("é", "é")),
+            ("u_other", "completely unrelated page about spark shuffles"),
+        ],
+        "url string, text string",
+    )
+    out = run_linkage(spark, pages, cfg=LinkageConfig(normalize_accents=True))
+    comp = {r["node"]: r["component"] for r in out["clusters"].collect()}
+    assert comp["u_nfc"] == comp["u_nfd"]
+    assert comp["u_other"] != comp["u_nfc"]
+
+
+def test_checkpoint_dir_threads_through_config(spark, tmp_path, pages):
+    """cfg.checkpoint_dir reaches connected_components: the run uses
+    RELIABLE checkpoints (files appear under the dir) and produces the
+    same clusters as the localCheckpoint default."""
+    import os
+
+    from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    out_ck = run_linkage(spark, pages, cfg=LinkageConfig(checkpoint_dir=ckpt))
+    got_ck = {(r["node"], r["component"]) for r in out_ck["clusters"].collect()}
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), "no reliable checkpoints written"
+    out_default = run_linkage(spark, pages, cfg=LinkageConfig())
+    got_default = {
+        (r["node"], r["component"]) for r in out_default["clusters"].collect()
+    }
+    assert got_ck == got_default
