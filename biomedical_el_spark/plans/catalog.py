@@ -1139,6 +1139,73 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_bio_decode",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(range(0, len(words))) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 w -> w != '') AS words
+              FROM documents)
+    ),
+    tagged AS (
+        SELECT doc_id, pos,
+               CASE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 5
+                    WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+                    ELSE 0 END AS tag
+        FROM toks
+    ),
+    runs AS (
+        SELECT doc_id, pos, tag,
+               sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS span_no
+        FROM tagged
+    )
+    SELECT doc_id, CAST(span_no AS BIGINT) AS span_no,
+           CAST(coalesce(max(CASE WHEN tag = 1 THEN pos END), min(pos))
+                AS BIGINT) AS span_start,
+           CAST(max(pos) AS BIGINT) AS span_end,
+           CAST(max(pos) - coalesce(max(CASE WHEN tag = 1 THEN pos END),
+                                    min(pos)) + 1 AS BIGINT) AS n_tokens
+    FROM runs WHERE tag != 0
+    GROUP BY doc_id, span_no
+    """,
+)
+def w_bio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 BIO span decode (reference get_mention_spans,
+    run_e2e_span.py:383-447) — the sequential per-document tag walk
+    restated as window + aggregate (see operators/bio.py for the closed
+    form and its proof/exhaustive test).  Tags here are a deterministic
+    synthetic stream (md5 of doc_id:pos → {O,B,I}) over the documents
+    table's real token positions, so the decode semantics — including
+    the reference's B-after-B discard and I-after-O open — are exercised
+    end-to-end against the DuckDB oracle at hash level."""
+    from ..operators.bio import bio_span_decode
+
+    docs = _t(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id", F.size(X.tokens(X.normalize_text(F.col("text")))).alias("n")
+    )
+    toks = ntok.filter(F.col("n") > 0).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos")
+    )
+    h = H.hex_prefix_to_long(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos")))
+    )
+    tag = (
+        F.when(F.pmod(h, F.lit(5)) == 2, 1)
+        .when(F.pmod(h, F.lit(5)).isin(3, 4), 2)
+        .otherwise(0)
+    )
+    tagged = toks.withColumn("tag", tag)
+    return bio_span_decode(tagged).select(
+        "doc_id", "span_no", "span_start", "span_end", "n_tokens"
+    )
+
+
+@register(
     "a_count_distinct",
     """
     SELECT event_type,

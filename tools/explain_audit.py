@@ -31,6 +31,12 @@ CHECKS = {
     # scale-path ANN: the bucket join must be an equi hash join, never a
     # cartesian/broadcast-nested-loop
     "ann_lsh_topk": ["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
+    # multi-probe: query side explodes to 1+num_planes probe keys, and the
+    # candidate join must STAY an equi-join over the probe key
+    "ann_multiprobe_topk": [
+        "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin",
+        "Generate explode",
+    ],
 }
 
 
