@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "er_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_multiprobe_topk",
+    "ann_ivf_topk",
+    "w_bio_decode",
     "cc_customer_nation_region",
     "q1_pricing_summary",
     "q3_order_revenue",
@@ -123,9 +126,35 @@ def main() -> None:
                 "pages_per_sec": round(n_pages / linkage_sec, 1),
                 "n_pages": n_pages,
                 "cpus": cpus,
+                **_scaling_summary(),
             }
         )
     )
+
+
+def _scaling_summary() -> dict:
+    """Fold the latest pinned N-vs-4N scaling measurements (the north-rule
+    evidence, produced by tools/scaling_bench.py — hours of pinned runs,
+    not re-run here) into the bench line so the per-round record carries
+    them."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "scaling_results.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        r = json.load(f)
+    curve = r.get("weak_curve", [])
+    if not curve:
+        return {}
+    biggest = curve[-1]
+    return {
+        "scaling_efficiency_weak": biggest["weak_efficiency"],
+        "scaling_weak_base_pages": biggest["base_pages"],
+        "scaling_efficiency_weak_curve": {
+            str(c["base_pages"]): c["weak_efficiency"] for c in curve
+        },
+        "scaling_efficiency_strong": r.get("strong_efficiency", {}),
+    }
 
 
 if __name__ == "__main__":

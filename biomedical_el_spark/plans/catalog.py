@@ -518,6 +518,113 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ann_multiprobe_topk"] = _multiprobe_oracle_sql()
 
 
+_IVF_COS_AC = f"""list_sum(list_transform(range(1, 65),
+                   i -> (a.embedding[i]::DOUBLE) * (c.embedding[i]::DOUBLE)))
+               / ({_NORM_A} * sqrt(list_sum(list_transform(range(1, 65),
+                   i -> (c.embedding[i]::DOUBLE) * (c.embedding[i]::DOUBLE)))))"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding FROM embeddings
+        WHERE vec_id % 97 = 3
+    ),
+    ranked AS (
+        SELECT a.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_IVF_COS_AC} DESC, c.centroid_id)
+                   AS rn
+        FROM embeddings a, cents c
+    ),
+    cells AS (SELECT vec_id, centroid_id AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, centroid_id AS cell FROM ranked
+        WHERE rn <= 2 AND vec_id % 20 = 0
+    ),
+    scored AS (
+        SELECT p.query_id, s.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+               / ({_NORM_A} * {_NORM_B}) AS cos
+        FROM probes p
+        JOIN cells s ON s.cell = p.cell
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = s.vec_id
+        WHERE s.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — the coarse-quantizer scale path (the reference's
+    dead FAISS IndexIVFFlat path, utils_e2e_span.py:417-426 /
+    modeling_e2e_span.py FAISS branch, as a Spark plan): assign every
+    vector to its nearest coarse centroid (broadcast join + per-row
+    argmax — the centroid list is tiny by construction), then answer a
+    query by probing its `nprobe`=2 nearest cells with an equi-join on
+    cell id and exact re-scoring inside.  Centroids here are a
+    DETERMINISTIC sample of the corpus (vec_id % 97 = 3 ≈ 1% of
+    vectors) rather than k-means — the construction FAISS calls a
+    'flat' coarse quantizer seeded from samples; keeping it
+    deterministic makes the whole index DuckDB-oracle-checkable at hash
+    level (same cosine accumulation order, same tie-breaks).  At 100 TB:
+    centroids broadcast (≤ a few MB), assignment is map-side, the only
+    shuffle is the cell equi-join — never all-pairs; on a real corpus
+    you'd run a few Lloyd iterations to place centroids and hydrate
+    vectors from the features table instead of carrying them through
+    the window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select("vec_id", dbl.alias("v"))
+    cents = vecs.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    ranked = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "centroid_id",
+            cosine_expr(F.col("v"), F.col("cv")).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+    )
+    cells = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("centroid_id").alias("cell"),
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") % 20 == 0) & (F.col("rn") <= 2)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("cell"),
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 @register(
     "ann_label_top1",
     f"""

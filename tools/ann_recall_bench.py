@@ -56,7 +56,39 @@ def candidate_counts(spark, sf_dir: str, num_planes: int = 4) -> dict[str, int]:
         qm.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id")).count()
     )
     keyed.unpersist()
-    return {"n": n, "nq": nq, "brute": nq * (n - 1), "single": single, "multi": multi}
+
+    # IVF-flat: probes (top-2 cells/query) ⋈ cell assignments, minus self
+    from biomedical_el_spark.functions.similarity import cosine_expr
+    from pyspark.sql import Window
+
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select("vec_id", dbl.alias("v"))
+    cents = vecs.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    ranked = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", cosine_expr(F.col("v"), F.col("cv")).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(aw))
+        .persist()
+    )
+    cells = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("centroid_id").alias("cell")
+    )
+    probes = ranked.filter((F.col("vec_id") % 20 == 0) & (F.col("rn") <= 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell")
+    )
+    ivf = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .count()
+    )
+    ranked.unpersist()
+    return {
+        "n": n, "nq": nq, "brute": nq * (n - 1),
+        "single": single, "multi": multi, "ivf": ivf,
+    }
 
 
 def main() -> None:
@@ -67,6 +99,7 @@ def main() -> None:
         "brute force (baseline)": catalog.ann_cosine_topk,
         "LSH single-probe": catalog.ann_lsh_topk,
         "LSH multi-probe (1-bit flips)": catalog.ann_multiprobe_topk,
+        "IVF-flat (nprobe=2)": catalog.ann_ivf_topk,
     }
     results, timings = {}, {}
     for name, fn in variants.items():
@@ -86,6 +119,7 @@ def main() -> None:
         "brute force (baseline)": counts["brute"],
         "LSH single-probe": counts["single"],
         "LSH multi-probe (1-bit flips)": counts["multi"],
+        "IVF-flat (nprobe=2)": counts["ivf"],
     }
     out = {
         "sf_dir": sf_dir,

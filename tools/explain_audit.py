@@ -37,6 +37,15 @@ CHECKS = {
         "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin",
         "Generate explode",
     ],
+    # BIO decode: window + map-side partial aggregate, ONE exchange on
+    # doc_id shared by both (no second shuffle for the groupBy)
+    "w_bio_decode": ["Window", "partial_"],
+    # IVF: centroid assignment is a BROADCAST product (tiny centroid
+    # list), the candidate retrieval an equi-join on cell id
+    "ann_ivf_topk": [
+        "BroadcastNestedLoopJoin",
+        "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin",
+    ],
 }
 
 

@@ -160,8 +160,11 @@ scored:
 Multi-probe (own bucket + all single-bit-flip neighbor buckets) trades
 {ann['probe_cost_ratio']}× the candidates of single-probe for
 {ann['recall_gain']}× the recall — still {ann['brute_cost_ratio']}× fewer
-comparisons than brute force.  On easy (clustered) embeddings all
-variants converge to recall ≈1; this fixture is the worst case.
+comparisons than brute force.  IVF-flat (deterministic sampled coarse
+centroids, nprobe=2) sits between the two LSH points on both axes —
+a different recall/cost dial (nlist/nprobe vs planes/probes).  On easy
+(clustered) embeddings all variants converge to recall ≈1; this fixture
+is the worst case.
 """
 
     doc += """
