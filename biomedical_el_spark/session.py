@@ -41,6 +41,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cluster: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -49,6 +50,10 @@ def get_spark(
         stage, so a straggling core (or vCPU on a shared host) takes
         fewer tasks instead of gating the stage barrier.  On a real
         cluster this scales with executor count instead.
+    cluster: True = do NOT set a master; `spark-submit --master ...`
+        owns deployment (see jobs/linkage_submit.py).  All tuning confs
+        still apply — they are cluster confs that happen to also work in
+        local mode, not the other way around.
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -57,15 +62,18 @@ def get_spark(
     else:
         master = f"local[{cores}]"
         n_cores = cores
+    defer_shuffle_width = cluster and shuffle_partitions is None
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * n_cores, 8)
 
     for k, v in _MALLOC_ENV.items():
         os.environ.setdefault(k, v)
 
+    builder = SparkSession.builder
+    if not cluster:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -101,5 +109,12 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if defer_shuffle_width:
+        # cluster width is known only now: 2 tasks per executor core
+        # (multi-wave straggler balancing), same rule as local mode
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(2 * spark.sparkContext.defaultParallelism, 8)),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
