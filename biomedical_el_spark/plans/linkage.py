@@ -51,6 +51,20 @@ class LinkageConfig:
     # reliable CC checkpoint dir (HDFS/object store on a cluster);
     # None = localCheckpoint (local-mode speed, not executor-loss safe)
     checkpoint_dir: str | None = None
+    # partition count for the CPU-bound feature stage (and the session's
+    # shuffle width follows it on big corpora): None = data-proportional,
+    # ~TASK_PAGES pages per task floored at 2×parallelism.  Tasks stay
+    # minutes-bounded as the corpus grows — a fixed 2×cores width at 16M+
+    # pages makes every task a multi-minute straggler target and loses
+    # the multi-wave balancing that absorbs slow cores (A/B: 16c/16M
+    # went 1561s → see BENCH.md once sized by data).  Execution detail,
+    # excluded from the snapshot fingerprint.
+    num_partitions: int | None = None
+
+
+# target pages per feature-stage task: ~10-15s of Arrow UDF work — small
+# enough for wave balancing, large enough to amortize batch setup
+TASK_PAGES = 50_000
 
 
 def run_linkage(
@@ -64,9 +78,11 @@ def run_linkage(
     cfg = cfg or LinkageConfig()
     assert cfg.bands * cfg.rows_per_band == cfg.num_hashes
     cfg_dict = asdict(cfg)
-    # execution detail, not semantics: the same pipeline run with reliable
-    # vs local checkpoints must share (and be resumable from) snapshots
+    # execution details, not semantics: the same pipeline run with
+    # reliable vs local checkpoints, or a different partition count, must
+    # share (and be resumable from) snapshots
     cfg_dict.pop("checkpoint_dir")
+    cfg_dict.pop("num_partitions")
     cfg_fp = fingerprint(cfg_dict, input_fingerprint)
 
     def snap(stage: str, compute, partition_by=None) -> DataFrame:
@@ -78,9 +94,21 @@ def run_linkage(
 
     # Explicit repartition before the feature UDF: parquet split packing
     # can hand a small corpus to a handful of tasks; the CPU-bound encoder
-    # stage must fan out to the full parallelism (SURVEY.md §4.3).  On a
+    # stage must fan out to the full parallelism (SURVEY.md §4.3) AND
+    # stay wave-balanced on big corpora (see num_partitions).  On a
     # cluster this is repartition(N, "url") against bucketed Iceberg.
-    n_part = spark.sparkContext.defaultParallelism * 2
+    n_part = cfg.num_partitions
+    if n_part is None:
+        floor = spark.sparkContext.defaultParallelism * 2
+        # estimate rows from the scan without an extra job where possible
+        try:
+            est = pages.count()  # parquet: metadata-only, no full scan
+        except Exception:
+            est = 0
+        n_part = max(floor, min(est // TASK_PAGES, 32 * floor))
+        # widen shuffles to match: pair-gen/scoring move similar volume
+        if n_part > floor:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     paged = pages.repartition(n_part, "url")
     features = snap(
         "features",

@@ -87,8 +87,12 @@ def run(cores: int, pages_dir: str, repo: str, repeats: int, n_pages: int) -> di
     estimator on this shared-host VM (see the spin control: individual
     vCPUs stochastically run up to 1.9x slower than their neighbors)."""
     env = dict(os.environ)
-    if n_pages >= 8_000_000:
-        env.setdefault("SPARK_DRIVER_MEM", "48g")
+    # Memory-fair legs: a 4N-executor fleet has 4N× the memory, so the
+    # pinned stand-in scales heap with cores (6 GB/core — the lo leg's
+    # 24 GB matches the default session).  Without this the hi leg of the
+    # biggest weak point runs 4× the data in a heap that only doubled and
+    # measures spill, not scaling.
+    env.setdefault("SPARK_DRIVER_MEM", f"{6 * cores}g")
     best = None
     for _ in range(repeats):
         proc = subprocess.run(
