@@ -75,7 +75,25 @@ amortization:
 |---|---|---|---|---|---|
 {rows}
 
-**Largest point ({biggest['base_pages']:,}→{biggest['base_pages']*factor:,} pages): weak efficiency {biggest['weak_efficiency']}** (target ≥ 0.8).
+**Largest point ({biggest['base_pages']:,}→{biggest['base_pages']*factor:,} pages): weak efficiency {biggest['weak_efficiency']}** (target ≥ 0.8 — not met
+in-sandbox; see the controls below for why the ceiling here is ~0.5–0.6
+and what portion is host, not engine).
+
+Round-3 measurement notes, in the open: the curve did NOT converge
+monotonically — the 250k point benefits from best-of-3 luck on a day
+with 1.65× per-vCPU spread (every point in this table was measured in
+one session; round 2's quieter host gave 0.507 at the 1M point vs 0.419
+today).  Two real fairness bugs in the harness WERE found and fixed this
+round, each worth real seconds: (a) the {hi}c/{biggest['base_pages']*factor//1000000}M leg previously ran
+4× the data in a heap that had only doubled — heap now scales at
+6 GB/core, and (b) task width was fixed at 2×cores regardless of volume,
+making 16M-page tasks multi-minute straggler targets — the feature stage
+now sizes ~50k pages/task (LinkageConfig.num_partitions).  Together:
+{hi}c/16M 1561s → 1197s (−23%).  A third hypothesis — young-gen pressure
+scaling with allocation threads — was A/B'd (Xmn8g vs 2g at {hi}c/16M:
+1365s vs 1197s) and rejected.  (The 16c/16M figure is a single clean
+measurement — the harness hit a full disk during its second repeat;
+best-of could only have improved it.)
 
 ## Strong scaling (same input, {lo}→{hi} cores)
 
@@ -87,6 +105,16 @@ Strong scaling on a shared-vCPU host is the harder gate (the {hi}-core
 leg hits the noisy-vCPU lottery ~{factor}× more often per stage barrier);
 the north rule's production shape — more executors, more data — is the
 weak curve above.
+
+## Round-over-round (same protocol, different host days)
+
+| point | round 2 | round 3 | note |
+|---|---|---|---|
+| 4c/1M best s | 128.43 | 142.88 | host spin spread 1.346× → 1.653× |
+| 16c/1M best s | 70.62 | 66.8 | |
+| 16c/4M best s | 253.21 | 340.66 | |
+| 16c/16M best s | — | 1197.36 | new largest point (1561s before the round-3 heap/partition fairness fixes) |
+| weak eff @1M | 0.507 | 0.419 | noise-dominated delta |
 
 ## Host-noise control (why these numbers have a hard in-sandbox ceiling)
 

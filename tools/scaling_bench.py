@@ -91,7 +91,9 @@ def run(cores: int, pages_dir: str, repo: str, repeats: int, n_pages: int) -> di
     # pinned stand-in scales heap with cores (6 GB/core — the lo leg's
     # 24 GB matches the default session).  Without this the hi leg of the
     # biggest weak point runs 4× the data in a heap that only doubled and
-    # measures spill, not scaling.
+    # measures spill, not scaling.  (Young gen stays at the tuned 2 GB
+    # for BOTH legs: scaling it per-core was A/B'd at 16c/16M —
+    # Xmn8g 1365s vs Xmn2g 1197s — and lost.)
     env.setdefault("SPARK_DRIVER_MEM", f"{6 * cores}g")
     best = None
     for _ in range(repeats):
