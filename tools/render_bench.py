@@ -153,13 +153,13 @@ compute kernels (embedding+minhash featurization, fused scoring) measure
 (reference `--use_tfidf_candidates`).  Measured head-to-head, fresh
 pinned JVM per arm:
 
-| arm | wall s | candidate pairs | blocking recall | precision | recall | F1 |
+| arm | wall s | candidate pairs | candidate recall | precision | recall | F1 |
 |---|---|---|---|---|---|---|
 | minhash+embedding (default) | {b['sec']} | {b['n_pairs']:,} | {b['blocking_recall']} | {b['precision']} | {b['recall']} | {b['f1']} |
 | + tfidf channel | {t['sec']} | {t['n_pairs']:,} | {t['blocking_recall']} | {t['precision']} | {t['recall']} | {t['f1']} |
 
 **Decision: {tfidf['decision']}** — on this corpus (near-dup clusters,
-intra-cluster Jaccard ≈0.7) MinHash banding already reaches blocking
+intra-cluster Jaccard ≈0.7) MinHash banding already reaches candidate
 recall {b['blocking_recall']}, so the extra channel buys
 {round(t['blocking_recall']-b['blocking_recall'], 6)} recall for
 {round(t['sec']-b['sec'], 1)}s (+{round(100*(t['sec']/b['sec']-1))}%) —
@@ -198,9 +198,15 @@ is the worst case.
     doc += """
 ## Correctness at these settings
 
-Pairwise F1 vs generator truth: **1.0** at 600-page verify and 1M-page
-bench shapes (precision 1.0; pytest gate asserts ≥ 0.99, plus
-at-blocking-keys variant; see tests/test_pipeline.py).
+Pairwise F1 vs generator truth: **1.0** at the 600-page verify shape
+(precision 1.0).  At 1M pages (TF-IDF A/B run above): precision **1.0**,
+UNconditioned recall 0.972 / F1 0.986 — unconditioned recall counts gold
+pairs that no blocking channel covers and that the block-size cap
+evicts, so it is bounded below the north gate by design.  The north
+metric itself is *conditioned on shared blocking keys* (BASELINE.json:
+'at fixed blocking keys'); that conditioned gate (≥ 0.99, plus the
+unconditioned variant at test shape) is asserted in
+tests/test_pipeline.py.
 """
     return doc
 
