@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "er_minhash_blocks",
     "er_tfidf_blocks",
     "er_candidate_pairs",
+    "er_capped_star_pairs",
     "d_near_dup_pairs",
     "er_simhash",
     "er_fingerprint",
@@ -91,7 +92,12 @@ def main() -> None:
                 "overwrite"
             ).save()
             best = min(best, time.time() - t0)
-        results[name] = round(best, 3)
+        # er_candidate_pairs reads the persisted chain shared with
+        # er_minhash_blocks (_PAIR_CACHE) — label it so its time is
+        # never read as the cold chain cost (that cost is carried by
+        # er_minhash_blocks; see BENCH.md)
+        key = name + ("_cached" if name == "er_candidate_pairs" else "")
+        results[key] = round(best, 3)
 
     # flagship: materialize synthetic pages, then time read -> clusters;
     # the wide Arrow-UDF stages were A/B-tuned at 2xcores shuffle width

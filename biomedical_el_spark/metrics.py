@@ -28,8 +28,12 @@ def partition_lineage(df: DataFrame, stage: str) -> DataFrame:
 
 
 def score_histogram(scored: DataFrame, score_col: str = "score", buckets: int = 20) -> DataFrame:
-    b = F.least(
-        F.floor(F.col(score_col) * buckets).cast("int"), F.lit(buckets - 1)
+    # clamp BOTH ends: hybrid scores can dip below 0 (cosine term spans
+    # [-1, 1]), and an uncapped floor would scatter them into negative
+    # stray buckets instead of bucket 0
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.floor(F.col(score_col) * buckets).cast("int"), F.lit(buckets - 1)),
     )
     return (
         scored.groupBy(

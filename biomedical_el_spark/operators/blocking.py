@@ -145,6 +145,31 @@ def tfidf_blocks(
     )
 
 
+def tfidf_blocks_from_features(
+    features: DataFrame, top_w: int = 2, sh_col: str = "sh"
+) -> DataFrame:
+    """The TF-IDF rare-shingle channel over a features table that already
+    carries per-doc distinct shingle HASHES (page_features
+    emit_shingles=True) — same semantics as `tfidf_blocks` (df≥2 filter,
+    per-url top-`top_w` rarest, deterministic (df, key) tie-break) with
+    the tokenize+shingle work amortized into the one batched Arrow
+    feature pass instead of a second JVM tokenization of raw text.
+    Emits (url, block_key:bigint, df)."""
+    from pyspark.sql import Window
+
+    doc_sh = features.select("url", F.explode(sh_col).alias("shk"))
+    dfreq = doc_sh.groupBy("shk").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= 2
+    )
+    win = Window.partitionBy("url").orderBy("df", "shk")
+    return (
+        doc_sh.join(dfreq, "shk")
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= top_w)
+        .select("url", F.col("shk").alias("block_key"), "df")
+    )
+
+
 def block_stats(blocks: DataFrame) -> DataFrame:
     """Per-block size distribution — the skew observability input for
     salting decisions and the score-distribution metrics table."""

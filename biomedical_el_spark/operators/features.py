@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.embedder import DIM, _embed_batch
-from ..functions.minhash_np import minhash_batch
+from ..functions.minhash_np import minhash_batch_shingles
 
 
 def page_features(
@@ -32,9 +32,10 @@ def page_features(
     id_col: str = "url",
     text_col: str = "text",
     normalize_accents: bool = False,
+    emit_shingles: bool = False,
 ) -> DataFrame:
-    """Compute (url, vec, sig, prefix) in one scalar-iterator pandas UDF
-    over Arrow batches — model/config init once per worker.
+    """Compute (url, vec, sig, prefix[, sh]) in one scalar-iterator pandas
+    UDF over Arrow batches — model/config init once per worker.
 
     normalize_accents=True NFD-strips combining marks (reference
     BasicTokenizer semantics, tokenization_bert.py:345-356) INSIDE the
@@ -43,42 +44,61 @@ def page_features(
     score identically.  Off by default: the stored page text stays
     byte-identical (input_hint invariant), and normalization is a
     key-derivation choice for non-English corpora, not an ingest mutation.
+
+    emit_shingles=True adds `sh array<bigint>`: the per-doc DISTINCT
+    shingle hashes the minhash kernel already computes — the TF-IDF
+    rare-shingle channel reads these instead of re-tokenizing raw text
+    (its measured +69% overhead was mostly that rework).
     """
+    sh_field = ", sh array<bigint>" if emit_shingles else ""
+
     if normalize_accents:
         from ..functions.text import strip_accents_batch
 
-        @F.pandas_udf(f"vec array<float>, sig array<bigint>, prefix string")
+        @F.pandas_udf(f"vec array<float>, sig array<bigint>, prefix string{sh_field}")
         def feats_norm(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             for texts in batches:
                 texts = strip_accents_batch(texts)
                 vecs = _embed_batch(texts, DIM)
-                sigs = minhash_batch(texts, num_hashes, seed).astype("int64")
-                yield pd.DataFrame(
-                    {
-                        "vec": list(vecs),
-                        "sig": list(sigs),
-                        "prefix": texts.str.slice(0, prefix_len),
-                    }
+                sigs, shs = minhash_batch_shingles(
+                    texts, num_hashes, seed, emit_shingles=emit_shingles
                 )
+                cols = {
+                    "vec": list(vecs),
+                    "sig": list(sigs.astype("int64")),
+                    "prefix": texts.str.slice(0, prefix_len),
+                }
+                if emit_shingles:
+                    cols["sh"] = shs
+                yield pd.DataFrame(cols)
 
+        out_cols = ["url", "f.vec", "f.sig", "f.prefix"]
+        if emit_shingles:
+            out_cols.append("f.sh")
         return pages.select(
             F.col(id_col).alias("url"), feats_norm(F.col(text_col)).alias("f")
-        ).select("url", "f.vec", "f.sig", "f.prefix")
+        ).select(*out_cols)
 
-    @F.pandas_udf(f"vec array<float>, sig array<bigint>")
+    @F.pandas_udf(f"vec array<float>, sig array<bigint>{sh_field}")
     def feats(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in batches:
             vecs = _embed_batch(texts, DIM)
-            sigs = minhash_batch(texts, num_hashes, seed).astype("int64")
-            yield pd.DataFrame(
-                {"vec": list(vecs), "sig": list(sigs)}
+            sigs, shs = minhash_batch_shingles(
+                texts, num_hashes, seed, emit_shingles=emit_shingles
             )
+            cols = {"vec": list(vecs), "sig": list(sigs.astype("int64"))}
+            if emit_shingles:
+                cols["sh"] = shs
+            yield pd.DataFrame(cols)
 
+    out_cols = ["url", "f.vec", "f.sig", "prefix"]
+    if emit_shingles:
+        out_cols.append("f.sh")
     return pages.select(
         F.col(id_col).alias("url"),
         feats(F.col(text_col)).alias("f"),
         F.substring(F.col(text_col), 1, prefix_len).alias("prefix"),
-    ).select("url", "f.vec", "f.sig", "prefix")
+    ).select(*out_cols)
 
 
 def band_keys_from_sig(

@@ -4,9 +4,11 @@ A block of size b yields b·(b−1)/2 pairs, so one boilerplate-heavy hot
 block can dominate the whole job (web-scale reality: empty pages, parked
 domains).  Controls, all deterministic:
 
-  - `max_block_size` cap: blocks larger than the cap are EXCLUDED from
-    pair generation and REPORTED (never silently — `oversized` output);
-    standard ER practice — a key shared by 10^6 pages carries no signal.
+  - `max_block_size` cap: blocks larger than the cap never generate
+    C(b,2) pairs and are REPORTED (never silently — `oversized` output).
+    With `escape="star"` they still contribute b−1 hub pairs (linear
+    cost) so genuinely-duplicate hot blocks keep their recall via
+    transitive closure; with escape=None they are excluded outright.
   - salting of the url→features hydration join (`salted_feature_join`):
     hot keys are split via pmod(xxhash64(url), S) so no single reducer
     receives a whole hot block (north_star: 'salting of hot blocks').
@@ -55,31 +57,8 @@ def candidate_pairs(
     return pairs, oversized
 
 
-def candidate_pairs_grouped(
-    blocks: DataFrame,
-    max_block_size: int | None = 64,
-) -> tuple[DataFrame, DataFrame]:
-    """Pair generation in TWO shuffles instead of four.
-
-    groupBy(block_key).collect_list(url) — bounded by the cap, so the agg
-    state is small — then emit each block's C(b,2) combinations with a
-    nested array transform (cheap: operates on the materialized member
-    array), and run ONE distinct at pair granularity.  Versus the
-    join-based plan this removes the size-annotation join and the
-    2M×2M self-join shuffle; measured ~2× on the pairs stage.
-
-    Oversized blocks are collected (count only) and reported, never
-    silently dropped.
-    """
-    cap = max_block_size if max_block_size is not None else 1 << 30
-    grouped = blocks.groupBy("block_key").agg(
-        F.sort_array(F.collect_list("url")).alias("members"),
-        F.count("*").alias("block_size"),
-    )
-    oversized = grouped.filter(F.col("block_size") > cap).select(
-        "block_key", "block_size"
-    )
-    ok = grouped.filter((F.col("block_size") >= 2) & (F.col("block_size") <= cap))
+def _combo_pairs(grouped: DataFrame) -> DataFrame:
+    """(block_key, members array) → exploded C(b,2) member combinations."""
     m = F.col("members")
     combos = F.flatten(
         F.transform(
@@ -90,12 +69,75 @@ def candidate_pairs_grouped(
             ),
         )
     )
-    pairs = (
-        ok.select(F.explode(combos).alias("p"))
-        .select("p.url_a", "p.url_b")
-        .distinct()
+    return grouped.select(F.explode(combos).alias("p")).select("p.url_a", "p.url_b")
+
+
+def candidate_pairs_grouped(
+    blocks: DataFrame,
+    max_block_size: int | None = 64,
+    escape: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Pair generation via groupBy(block_key).collect_list(url) + a nested
+    array transform emitting each block's C(b,2) combinations, and ONE
+    distinct at pair granularity.  Versus the join-based plan this
+    removes the size-annotation join and the self-join shuffle; measured
+    ~2× on the pairs stage.
+
+    With a cap, sizes are computed FIRST (a partial-aggregated
+    count/min — the exchange carries one tiny row per key) and oversized
+    keys are anti-joined out BEFORE collect_list, so no aggregation
+    state ever holds an uncapped member array — a 10^6-member junk block
+    costs one counter, not a 10^6-element list in one reducer.  (The cap
+    is what makes single-pass collection safe at all; uncapped
+    `max_block_size=None` keeps the single-shuffle single-pass plan and
+    is only for bounded fixtures.)
+
+    escape=None: oversized blocks are EXCLUDED from pair generation and
+    reported (round-3 behavior — standard ER practice for junk keys).
+    escape="star": each oversized block also emits (hub=min url, member)
+    pairs — b−1 pairs instead of C(b,2), bounded linear cost.  For hot
+    blocks of genuinely duplicate pages (the recall-loss case the cap
+    used to create) every hub edge passes τ-scoring and the transitive
+    closure recovers the full cluster; for junk collisions the hub edges
+    simply fail scoring.  Scoring stays the gate either way.
+    """
+    if max_block_size is None:
+        grouped = blocks.groupBy("block_key").agg(
+            F.sort_array(F.collect_list("url")).alias("members"),
+            F.count("*").alias("block_size"),
+        )
+        oversized = grouped.filter(F.lit(False)).select("block_key", "block_size")
+        pairs = _combo_pairs(grouped.filter(F.col("block_size") >= 2)).distinct()
+        return pairs, oversized
+
+    sizes = blocks.groupBy("block_key").agg(
+        F.count("*").alias("block_size"), F.min("url").alias("hub")
     )
-    return pairs, oversized
+    oversized_full = sizes.filter(F.col("block_size") > max_block_size)
+    oversized = oversized_full.select("block_key", "block_size")
+    grouped = (
+        blocks.join(oversized_full.select("block_key"), "block_key", "left_anti")
+        .groupBy("block_key")
+        .agg(
+            F.sort_array(F.collect_list("url")).alias("members"),
+            F.count("*").alias("block_size"),
+        )
+        .filter(F.col("block_size") >= 2)
+    )
+    pairs = _combo_pairs(grouped)
+    if escape == "star":
+        # hub < member by construction (hub = min url of the block)
+        star = (
+            blocks.join(
+                oversized_full.select("block_key", "hub"), "block_key"
+            )
+            .filter(F.col("url") != F.col("hub"))
+            .select(F.col("hub").alias("url_a"), F.col("url").alias("url_b"))
+        )
+        pairs = pairs.unionByName(star)
+    elif escape is not None:
+        raise ValueError(f"unknown oversized-block escape: {escape!r}")
+    return pairs.distinct(), oversized
 
 
 def salted_feature_join(

@@ -166,6 +166,35 @@ def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_capped_star_pairs",
+    f"""
+    WITH blocks AS ({_BLOCKS_SQL}),
+    sized AS (
+        SELECT block_key, count(*) AS bs, min(doc_id) AS hub
+        FROM blocks GROUP BY block_key
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM blocks a JOIN blocks b USING (block_key) JOIN sized s USING (block_key)
+    WHERE s.bs <= 2 AND a.doc_id < b.doc_id
+    UNION
+    SELECT DISTINCT s.hub AS doc_a, b.doc_id AS doc_b
+    FROM blocks b JOIN sized s USING (block_key)
+    WHERE s.bs > 2 AND b.doc_id != s.hub
+    """,
+)
+def er_capped_star_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped pair generation with the star cap-escape: blocks over the
+    cap emit (min-member hub, member) pairs — O(b) instead of C(b,2) —
+    so hot duplicate blocks keep recall via transitive closure while
+    pair cost stays bounded (reference candidate capping analogue:
+    run_e2e_span.py:883 --num_candidates).  Cap=2 at this fixture splits
+    the blocks 86 combo / 4 star, exercising both branches."""
+    blocks = er_minhash_blocks(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    cand, _ = P.candidate_pairs_grouped(blocks, max_block_size=2, escape="star")
+    return cand.select(F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"))
+
+
+@register(
     "er_tfidf_blocks",
     f"""
     WITH doc_sh AS (

@@ -33,6 +33,15 @@ from ..sources.snapshots import SnapshotStore, fingerprint
 
 @dataclass
 class LinkageConfig:
+    """Pipeline semantics + execution knobs.
+
+    Semantic fields are serialized into the snapshot fingerprint, so
+    ADDING a semantic field (or changing a default) intentionally
+    invalidates pre-change snapshot stores: a resumed run recomputes
+    rather than silently mixing outputs from two different pipeline
+    definitions.  Execution-only fields (checkpoint_dir, num_partitions)
+    are excluded and never invalidate.
+    """
     num_hashes: int = 32
     bands: int = 16
     rows_per_band: int = 2
@@ -42,6 +51,12 @@ class LinkageConfig:
     use_tfidf_blocks: bool = False
     tfidf_top_w: int = 2
     max_block_size: int = 64
+    # what to do with blocks over the cap: "star" (default) pairs every
+    # member with the block's min url — O(b) pairs whose τ-scoring plus
+    # transitive closure recovers the matches an excluded block would
+    # have lost; None excludes them (round-3 behavior).  Either way the
+    # oversized report is written.
+    oversized_escape: str | None = "star"
     tau: float = 0.62
     jw_prefix: int = 32
     weights: dict = field(default_factory=lambda: dict(S.DEFAULT_WEIGHTS))
@@ -65,6 +80,37 @@ class LinkageConfig:
 # target pages per feature-stage task: ~10-15s of Arrow UDF work — small
 # enough for wave balancing, large enough to amortize batch setup
 TASK_PAGES = 50_000
+
+
+def _estimate_rows(pages: DataFrame, sample_files: int = 64) -> int:
+    """Upper-bound row estimate from parquet FOOTERS — pure metadata, no
+    Spark job, no lineage execution.  (A `count()` here is a real
+    aggregate job: for a bare scan it's one pass over the input, and for
+    a UDF-heavy upstream it runs the whole lineage once before the
+    feature stage even starts.)  Returns 0 (caller falls back to
+    2×parallelism) when the plan isn't a local parquet file scan.  For
+    huge file lists only `sample_files` footers are read, evenly spaced,
+    and the total is extrapolated — partition sizing needs magnitude,
+    not exactness."""
+    try:
+        files = [f for f in pages.inputFiles() if f.endswith(".parquet")]
+        if not files:
+            return 0
+        import pyarrow.parquet as pq
+        from urllib.parse import urlparse
+
+        paths = []
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return 0  # remote FS: let the caller fall back
+            paths.append(u.path)
+        step = max(1, len(paths) // sample_files)
+        sampled = paths[::step]
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in sampled)
+        return int(rows * len(paths) / len(sampled))
+    except Exception:
+        return 0
 
 
 def run_linkage(
@@ -98,17 +144,17 @@ def run_linkage(
     # stay wave-balanced on big corpora (see num_partitions).  On a
     # cluster this is repartition(N, "url") against bucketed Iceberg.
     n_part = cfg.num_partitions
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    widened = False
     if n_part is None:
         floor = spark.sparkContext.defaultParallelism * 2
-        # estimate rows from the scan without an extra job where possible
-        try:
-            est = pages.count()  # parquet: metadata-only, no full scan
-        except Exception:
-            est = 0
+        # footer-based estimate: metadata-only, never executes the lineage
+        est = _estimate_rows(pages)
         n_part = max(floor, min(est // TASK_PAGES, 32 * floor))
         # widen shuffles to match: pair-gen/scoring move similar volume
         if n_part > floor:
             spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+            widened = True
     paged = pages.repartition(n_part, "url")
     features = snap(
         "features",
@@ -118,6 +164,9 @@ def run_linkage(
             cfg.minhash_seed,
             prefix_len=cfg.jw_prefix,
             normalize_accents=cfg.normalize_accents,
+            # the TF-IDF channel reads shingle hashes off the features
+            # table (one Arrow pass) instead of re-tokenizing raw text
+            emit_shingles=cfg.use_tfidf_blocks,
         ),
     )
 
@@ -135,15 +184,19 @@ def run_linkage(
         if cfg.use_tfidf_blocks:
             # third recall channel (reference --use_tfidf_candidates):
             # rare-shingle keys catch low-Jaccard pairs that share one
-            # distinctive phrase.  Hashed into their own key namespace —
-            # a 64-bit collision can only ADD a candidate pair.
-            from ..operators.blocking import tfidf_blocks
+            # distinctive phrase.  Reads the shingle hashes emitted by
+            # the feature pass (no second tokenization of raw text).
+            # Hashed into their own key namespace — a 64-bit collision
+            # can only ADD a candidate pair.
+            from ..operators.blocking import tfidf_blocks_from_features
 
-            tf = tfidf_blocks(paged, top_w=cfg.tfidf_top_w)
+            tf = tfidf_blocks_from_features(features, top_w=cfg.tfidf_top_w)
             blk = blk.unionByName(
                 tf.select(
                     "url",
-                    F.xxhash64(F.lit("tfidf"), F.col("block_key")).alias("block_key"),
+                    F.xxhash64(
+                        F.lit("tfidf"), F.col("block_key").cast("string")
+                    ).alias("block_key"),
                 )
             )
         return blk
@@ -151,7 +204,9 @@ def run_linkage(
     blocks = snap("blocks", compute_blocks)
 
     def compute_pairs() -> DataFrame:
-        cand, oversized = P.candidate_pairs_grouped(blocks, cfg.max_block_size)
+        cand, oversized = P.candidate_pairs_grouped(
+            blocks, cfg.max_block_size, escape=cfg.oversized_escape
+        )
         if store is not None:
             store.write(oversized, "oversized_blocks", cfg_fp)  # never silent
         return cand
@@ -181,6 +236,13 @@ def run_linkage(
         return comp.unionByName(singles)
 
     clusters = snap("clusters", compute_clusters)
+    # Eager path (snapshot store): every stage is already materialized,
+    # so restore the session shuffle width instead of leaking the widened
+    # setting into whatever the caller runs next.  Lazy path (store=None,
+    # stages persist()ed but not yet computed): the width must stay until
+    # the caller materializes them, so it is intentionally left in place.
+    if widened and store is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return {
         "features": features,
         "blocks": blocks,

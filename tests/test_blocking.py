@@ -56,6 +56,28 @@ def test_tfidf_channel_recall_delta(spark):
     assert got_tf == gold, f"tfidf channel missed {gold - got_tf}"
 
 
+def test_tfidf_from_features_matches_channel_semantics(spark):
+    """The features-backed TF-IDF channel (shingle hashes from the one
+    Arrow feature pass) must catch the same rare-shingle-only pairs the
+    text-based channel exists for, with the same df≥2 / top-w semantics."""
+    from biomedical_el_spark.operators.features import page_features
+
+    common = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(f"f{i:02d}", f"{common} filler{i} note{i} extra{i}") for i in range(20)]
+    rows += [
+        ("pa1", "alpha beta gamma zq1 zr1 zs1 delta epsilon zeta eta theta iota"),
+        ("pa2", "kappa lambada mu zq1 zr1 zs1 nu xi omicron pi rho sigma"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    feats = page_features(docs, num_hashes=8, emit_shingles=True)
+    assert "sh" in feats.columns
+    blk = B.tfidf_blocks_from_features(feats, top_w=2)
+    per_url = blk.groupBy("url").count().agg(F.max("count")).collect()[0][0]
+    assert per_url <= 2
+    cand, _ = P.candidate_pairs_grouped(blk.select("url", "block_key"), 64)
+    assert ("pa1", "pa2") in {tuple(r) for r in cand.collect()}
+
+
 def test_tfidf_blocks_shape(spark, pages):
     blk = B.tfidf_blocks(pages, top_w=2)
     assert set(blk.columns) == {"url", "block_key", "df"}
@@ -68,6 +90,48 @@ def test_oversized_blocks_reported_not_silent(spark, pages):
     _, oversized = P.candidate_pairs(blocks, max_block_size=3)
     assert oversized.count() > 0
     assert set(oversized.columns) == {"block_key", "block_size"}
+
+
+def test_star_escape_bounds_oversized_blocks(spark):
+    """Cap-escape semantics: an oversized block contributes b−1 hub pairs
+    (min member ↔ each other member), a capped block its full C(b,2);
+    escape=None reproduces the round-3 exclusion behavior."""
+    rows = [(f"u{i}", "big") for i in range(10)] + [("a", "small"), ("b", "small")]
+    blocks = spark.createDataFrame(rows, "url string, block_key string")
+
+    star, over = P.candidate_pairs_grouped(blocks, max_block_size=4, escape="star")
+    got = {tuple(r) for r in star.collect()}
+    expect = {("a", "b")} | {("u0", f"u{i}") for i in range(1, 10)}
+    assert got == expect
+    assert {tuple(r) for r in over.collect()} == {("big", 10)}
+
+    excl, over2 = P.candidate_pairs_grouped(blocks, max_block_size=4, escape=None)
+    assert {tuple(r) for r in excl.collect()} == {("a", "b")}
+    assert {tuple(r) for r in over2.collect()} == {("big", 10)}
+
+
+def test_grouped_capped_matches_join_plan(spark, pages):
+    """The two-pass capped grouped generator (sizes → anti-join →
+    collect) must emit exactly the join-based plan's pairs at the same
+    cap (escape off)."""
+    blocks = B.shingle_blocks(pages)
+    a, _ = P.candidate_pairs(blocks, max_block_size=3)
+    b, _ = P.candidate_pairs_grouped(blocks, max_block_size=3, escape=None)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_star_escape_recovers_cluster_via_cc(spark):
+    """The recall claim behind escape="star": a hot block of genuine
+    duplicates, evicted under the cap, still ends up ONE cluster because
+    the hub edges pass scoring and transitive closure merges them."""
+    from biomedical_el_spark.operators.cc import connected_components
+
+    rows = [(f"u{i}", "hot") for i in range(8)]
+    blocks = spark.createDataFrame(rows, "url string, block_key string")
+    pairs, _ = P.candidate_pairs_grouped(blocks, max_block_size=4, escape="star")
+    comp = connected_components(pairs, src_col="url_a", dst_col="url_b")
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 8
 
 
 def test_pairs_are_canonical_and_distinct(spark, pages):

@@ -130,3 +130,28 @@ def test_checkpoint_dir_threads_through_config(spark, tmp_path, pages):
         (r["node"], r["component"]) for r in out_default["clusters"].collect()
     }
     assert got_ck == got_default
+
+
+def test_score_histogram_clamps_both_ends(spark):
+    """Scores below 0 (cosine term spans [-1,1]) land in bucket 0, ≥1 in
+    the top bucket — no stray negative buckets."""
+    scored = spark.createDataFrame(
+        [(-0.3,), (0.0,), (0.5,), (0.999,), (1.7,)], "score double"
+    )
+    rows = M.score_histogram(scored).groupBy("bucket").agg(F.sum("n").alias("n"))
+    got = {r["bucket"]: r["n"] for r in rows.collect()}
+    assert got == {0: 2, 10: 1, 19: 2}
+
+
+def test_estimate_rows_metadata_only(spark, tmp_path, pages):
+    """Partition auto-sizing reads parquet footers, not the lineage: a
+    bare scan yields the true row count; a non-file plan yields 0 (the
+    caller falls back to 2x parallelism) instead of executing a full
+    upstream pass."""
+    from biomedical_el_spark.plans.linkage import _estimate_rows
+
+    p = str(tmp_path / "pages_est")
+    pages.write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert _estimate_rows(scan) == pages.count()
+    assert _estimate_rows(spark.range(10).toDF("id")) == 0
