@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_multiprobe_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "w_bio_decode",
     "cc_customer_nation_region",
     "q1_pricing_summary",

@@ -63,11 +63,27 @@ def _parse_image_header(data: bytes) -> tuple[str, int, int]:
         return "bmp", w, abs(h)  # negative height = top-down DIB
     if data[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOF
         i = 2
-        while i + 9 < len(data) and data[i] == 0xFF:
-            marker, seglen = data[i + 1], struct.unpack(">H", data[i + 2 : i + 4])[0]
+        while i + 1 < len(data) and data[i] == 0xFF:
+            # 0xFF fill bytes may pad before any marker (ITU T.81 B.1.1.2)
+            j = i
+            while j + 1 < len(data) and data[j + 1] == 0xFF:
+                j += 1
+            i, marker = j, data[j + 1]
+            # standalone markers carry NO length field: TEM (0x01),
+            # RSTn (0xD0-0xD7), SOI (0xD8); EOI (0xD9) ends the stream
+            if marker == 0xD9:
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            if i + 3 >= len(data):
+                break
+            seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
-                return "jpeg", w, h
+                if i + 9 <= len(data):
+                    h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    return "jpeg", w, h
+                break
             i += 2 + seglen
         return "jpeg", -1, -1
     return "unknown", -1, -1

@@ -48,15 +48,31 @@ class LinkageConfig:
     minhash_seed: int = 42
     use_embedding_blocks: bool = True
     hyperplanes: int = 12
+    # scale the hyperplane count with the corpus (max(hyperplanes,
+    # ceil(log2(rows/16))) capped at 24, ~16 pages/bucket at any size —
+    # the LSH analogue of nlist ∝ n in IVF; the RESOLVED plane count
+    # enters the snapshot fingerprint).  Default OFF by measurement
+    # (tools/capscale_ab.py, 1M pages): on THIS corpus the band channel
+    # already covers what the embedding channel can reach — auto
+    # capacity bought +0.0001 recall for +16% wall.  Enable for corpora
+    # with cross-format near-dups (low Jaccard, high cosine), where a
+    # fixed 2^12-bucket channel is dead after capping at >=1M pages.
+    auto_hyperplanes: bool = False
     use_tfidf_blocks: bool = False
     tfidf_top_w: int = 2
     max_block_size: int = 64
-    # what to do with blocks over the cap: "star" (default) pairs every
-    # member with the block's min url — O(b) pairs whose τ-scoring plus
-    # transitive closure recovers the matches an excluded block would
-    # have lost; None excludes them (round-3 behavior).  Either way the
-    # oversized report is written.
-    oversized_escape: str | None = "star"
+    # what to do with blocks over the cap: "star" pairs every member
+    # with the block's min url — O(b) pairs whose τ-scoring plus
+    # transitive closure can recover an evicted duplicate group; None
+    # (default) excludes them.  Default OFF by measurement
+    # (tools/capscale_ab.py, 1M pages): cap eviction costs only 0.76%
+    # of gold pairs there (2.0% more are banding misses that share NO
+    # key), and star recovered ~none of them (+0.000 recall for +34%
+    # wall — oversized blocks on this corpus are boilerplate key
+    # collisions, not duplicate groups, so hub edges fail τ).  Enable
+    # for corpora where hot blocks ARE duplicate blobs (mirrors,
+    # parked-domain farms) — the unit tests construct that shape.
+    oversized_escape: str | None = None
     tau: float = 0.62
     jw_prefix: int = 32
     weights: dict = field(default_factory=lambda: dict(S.DEFAULT_WEIGHTS))
@@ -123,12 +139,26 @@ def run_linkage(
     """Run (or resume) the full pipeline; returns all stage DataFrames."""
     cfg = cfg or LinkageConfig()
     assert cfg.bands * cfg.rows_per_band == cfg.num_hashes
+    # footer-based row estimate: metadata-only, never executes the lineage
+    est = _estimate_rows(pages)
+    # data-proportional hyperplane capacity (see LinkageConfig): target
+    # ~16 pages per embedding bucket so the channel still exists after
+    # block-size capping at ANY corpus size
+    hp = cfg.hyperplanes
+    if cfg.auto_hyperplanes and est > 16:
+        import math
+
+        hp = max(hp, min(24, math.ceil(math.log2(est / 16))))
     cfg_dict = asdict(cfg)
     # execution details, not semantics: the same pipeline run with
     # reliable vs local checkpoints, or a different partition count, must
     # share (and be resumable from) snapshots
     cfg_dict.pop("checkpoint_dir")
     cfg_dict.pop("num_partitions")
+    # the RESOLVED capacity is the semantic value (two corpora of
+    # different sizes legitimately get different fingerprints — their
+    # input fingerprints differ anyway)
+    cfg_dict["hyperplanes"] = hp
     cfg_fp = fingerprint(cfg_dict, input_fingerprint)
 
     def snap(stage: str, compute, partition_by=None) -> DataFrame:
@@ -148,8 +178,6 @@ def run_linkage(
     widened = False
     if n_part is None:
         floor = spark.sparkContext.defaultParallelism * 2
-        # footer-based estimate: metadata-only, never executes the lineage
-        est = _estimate_rows(pages)
         n_part = max(floor, min(est // TASK_PAGES, 32 * floor))
         # widen shuffles to match: pair-gen/scoring move similar volume
         if n_part > floor:
@@ -173,7 +201,7 @@ def run_linkage(
     def compute_blocks() -> DataFrame:
         blk = band_keys_from_sig(features, cfg.bands, cfg.rows_per_band)
         if cfg.use_embedding_blocks:
-            key = hyperplane_lsh_udf(cfg.hyperplanes)(F.col("vec"))
+            key = hyperplane_lsh_udf(hp)(F.col("vec"))
             # shift hyperplane buckets into their own bigint key space
             blk = blk.unionByName(
                 features.select(

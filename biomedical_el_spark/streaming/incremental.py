@@ -152,36 +152,84 @@ def process_block_batch(
     keys.unpersist()
 
 
+def committed_batch_ids(checkpoint_dir: str) -> set[int]:
+    """Batch ids the streaming checkpoint has COMMITTED (one file per id
+    under `commits/`) — the only batches whose store leaves are safe to
+    rewrite: an id without a commit marker may re-run and rewrite its
+    own (bucket, batch_id) leaves."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    ids: set[int] = set()
+    if os.path.isdir(commits):
+        for name in os.listdir(commits):
+            if name.isdigit():
+                ids.add(int(name))
+    return ids
+
+
 def compact_blocks_store(
-    spark: SparkSession, store_dir: str, n_buckets: int = 64
+    spark: SparkSession,
+    store_dir: str,
+    n_buckets: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> None:
-    """Merge every bucket's accumulated per-batch files into a single
-    `batch_id=-1` partition per bucket (one file per bucket) — the
-    local-parquet analogue of Iceberg `rewrite_data_files`.
+    """Merge accumulated per-batch files into a single `batch_id=-1`
+    partition per bucket (one file per bucket) — the local-parquet
+    analogue of Iceberg `rewrite_data_files`.
 
     Run BETWEEN triggers (it is a maintenance op, not part of a batch):
     the rewrite-then-swap is not atomic on a local filesystem, so it must
     not race the stream; on a cluster use a table format with atomic
-    commit instead.  Safe with the streaming checkpoint: committed
-    batches never re-run, so their rows live only in the compacted
-    partition afterward; an in-flight batch retried later rewrites only
-    its own (bucket, batch_id) leaves, which compaction never absorbed.
+    commit instead.
+
+    checkpoint_dir given (recommended): only leaves whose batch_id is
+    recorded as committed in the streaming checkpoint (plus previous
+    compactions) are absorbed; leaves of uncommitted batches — e.g. the
+    half-written output of a batch that crashed before its commit marker
+    — are carried over UNTOUCHED, so the retry's dynamic overwrite
+    replaces them instead of duplicating rows the compaction had already
+    absorbed.  checkpoint_dir=None absorbs everything and is only safe
+    while the stream is healthy between triggers (no crashed,
+    uncommitted batch output on disk).
     """
     base = f"{store_dir}/blocks"
     if not os.path.isdir(base):
+        return
+    leaves: list[tuple[str, int, str]] = []  # (bucket_dir_name, batch_id, leaf_path)
+    for bdir in sorted(os.listdir(base)):
+        if not bdir.startswith("bucket="):
+            continue
+        for leaf in sorted(os.listdir(os.path.join(base, bdir))):
+            if leaf.startswith("batch_id="):
+                leaves.append(
+                    (bdir, int(leaf.split("=", 1)[1]), os.path.join(base, bdir, leaf))
+                )
+    if checkpoint_dir is not None:
+        safe = committed_batch_ids(checkpoint_dir) | {COMPACTED_BATCH_ID}
+        absorb = [p for _, b, p in leaves if b in safe]
+        carry = [(d, b) for d, b, p in leaves if b not in safe]
+    else:
+        absorb = [p for _, _, p in leaves]
+        carry = []
+    if not absorb:
         return
     tmp = f"{store_dir}/blocks_compacting"
     old = f"{store_dir}/blocks_old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     (
-        spark.read.parquet(base)
+        spark.read.option("basePath", base)
+        .parquet(*absorb)
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
         .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket", "batch_id")
         .parquet(tmp)
     )
+    # carry uncommitted leaves over physically, untouched
+    for bdir, b in carry:
+        dst = os.path.join(tmp, bdir, f"batch_id={b}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(base, bdir, f"batch_id={b}"), dst)
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old, ignore_errors=True)

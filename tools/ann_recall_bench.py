@@ -85,9 +85,16 @@ def candidate_counts(spark, sf_dir: str, num_planes: int = 4) -> dict[str, int]:
         .count()
     )
     ranked.unpersist()
+
+    kp, kc, _ = catalog._ivf_kmeans_parts(spark, sf_dir)
+    ivf_km = (
+        kp.join(kc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .count()
+    )
     return {
         "n": n, "nq": nq, "brute": nq * (n - 1),
-        "single": single, "multi": multi, "ivf": ivf,
+        "single": single, "multi": multi, "ivf": ivf, "ivf_kmeans": ivf_km,
     }
 
 
@@ -100,6 +107,7 @@ def main() -> None:
         "LSH single-probe": catalog.ann_lsh_topk,
         "LSH multi-probe (1-bit flips)": catalog.ann_multiprobe_topk,
         "IVF-flat (nprobe=2)": catalog.ann_ivf_topk,
+        "IVF k-means (nlist=20, 2 Lloyd iters, nprobe=2)": catalog.ann_ivf_kmeans_topk,
     }
     results, timings = {}, {}
     for name, fn in variants.items():
@@ -120,6 +128,7 @@ def main() -> None:
         "LSH single-probe": counts["single"],
         "LSH multi-probe (1-bit flips)": counts["multi"],
         "IVF-flat (nprobe=2)": counts["ivf"],
+        "IVF k-means (nlist=20, 2 Lloyd iters, nprobe=2)": counts["ivf_kmeans"],
     }
     out = {
         "sf_dir": sf_dir,
