@@ -28,9 +28,9 @@ from __future__ import annotations
 import argparse
 import json
 
-from ..plans.linkage import LinkageConfig, run_linkage
+from ..plans.linkage import LinkageConfig, _estimate_rows, resolved_config, run_linkage
 from ..session import get_spark
-from ..sources.snapshots import SnapshotStore
+from ..sources.snapshots import SnapshotStore, fingerprint
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-tfidf-blocks", action="store_true")
     p.add_argument("--normalize-accents", action="store_true")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--dry-run", action="store_true", help=(
+        "print the resolved semantic config, stage fingerprint, and "
+        "per-stage committed/pending status — no computation"))
     return p
 
 
@@ -71,6 +74,9 @@ def config_from_args(args: argparse.Namespace) -> LinkageConfig:
     return cfg
 
 
+STAGES = ("features", "blocks", "pairs", "scored", "links", "clusters")
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = build_parser().parse_args(argv)
     spark = get_spark(
@@ -81,13 +87,39 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         pages = spark.read.table(args.input)
 
-    store = SnapshotStore(args.output)
+    # Iceberg catalog when the runtime is on the classpath (jars are
+    # optional — see sources/iceberg.py), parquet+manifest store otherwise
+    from ..sources.iceberg import open_store
+
+    store = open_store(spark, args.output)
+    cfg = config_from_args(args)
+
+    if args.dry_run:
+        cfg_dict = resolved_config(cfg, _estimate_rows(pages))
+        cfg_fp = fingerprint(cfg_dict, args.input_fingerprint)
+        report = {
+            "dry_run": True,
+            "store": type(store).__name__,
+            "resolved_config": cfg_dict,
+            "stage_fingerprint": cfg_fp,
+            "stages": {
+                s: ("committed" if store.committed(s, cfg_fp) else "pending")
+                for s in STAGES
+            },
+        }
+        print(json.dumps(report))
+        return report
+
     out = run_linkage(
-        spark, pages, store=store, cfg=config_from_args(args),
+        spark, pages, store=store, cfg=cfg,
         input_fingerprint=args.input_fingerprint,
     )
+    # Summary counts read COMMITTED SNAPSHOTS (run_linkage with a store
+    # returns snapshot reads — bare scans), never re-run upstream stages;
+    # the page count comes from the 1:1 narrow features snapshot instead
+    # of a second pass over the (possibly wide/remote) input.
     summary = {
-        "pages": pages.count(),
+        "pages": out["features"].count(),
         "links": out["links"].count(),
         "clusters": out["clusters"].select("component").distinct().count(),
         "output": args.output,

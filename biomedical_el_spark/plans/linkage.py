@@ -129,6 +129,25 @@ def _estimate_rows(pages: DataFrame, sample_files: int = 64) -> int:
         return 0
 
 
+def resolved_config(cfg: LinkageConfig, est: int) -> dict:
+    """The SEMANTIC config dict that keys snapshots: execution-only
+    fields dropped, data-proportional knobs resolved against the row
+    estimate (the resolved values are the semantics — two corpora of
+    different sizes legitimately get different fingerprints; their input
+    fingerprints differ anyway)."""
+    hp = cfg.hyperplanes
+    if cfg.auto_hyperplanes and est > 16:
+        import math
+
+        # ~16 pages per embedding bucket at any corpus size
+        hp = max(hp, min(24, math.ceil(math.log2(est / 16))))
+    cfg_dict = asdict(cfg)
+    cfg_dict.pop("checkpoint_dir")
+    cfg_dict.pop("num_partitions")
+    cfg_dict["hyperplanes"] = hp
+    return cfg_dict
+
+
 def run_linkage(
     spark: SparkSession,
     pages: DataFrame,
@@ -141,24 +160,8 @@ def run_linkage(
     assert cfg.bands * cfg.rows_per_band == cfg.num_hashes
     # footer-based row estimate: metadata-only, never executes the lineage
     est = _estimate_rows(pages)
-    # data-proportional hyperplane capacity (see LinkageConfig): target
-    # ~16 pages per embedding bucket so the channel still exists after
-    # block-size capping at ANY corpus size
-    hp = cfg.hyperplanes
-    if cfg.auto_hyperplanes and est > 16:
-        import math
-
-        hp = max(hp, min(24, math.ceil(math.log2(est / 16))))
-    cfg_dict = asdict(cfg)
-    # execution details, not semantics: the same pipeline run with
-    # reliable vs local checkpoints, or a different partition count, must
-    # share (and be resumable from) snapshots
-    cfg_dict.pop("checkpoint_dir")
-    cfg_dict.pop("num_partitions")
-    # the RESOLVED capacity is the semantic value (two corpora of
-    # different sizes legitimately get different fingerprints — their
-    # input fingerprints differ anyway)
-    cfg_dict["hyperplanes"] = hp
+    cfg_dict = resolved_config(cfg, est)
+    hp = cfg_dict["hyperplanes"]
     cfg_fp = fingerprint(cfg_dict, input_fingerprint)
 
     def snap(stage: str, compute, partition_by=None) -> DataFrame:

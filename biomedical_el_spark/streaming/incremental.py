@@ -79,6 +79,7 @@ def process_block_batch(
     rows_per_band: int = 2,
     num_hashes: int = 32,
     n_buckets: int = 64,
+    feats: DataFrame | None = None,
 ) -> None:
     """One micro-batch of incremental blocking.  Module-level (not a
     closure) so idempotency is directly testable: calling it twice with
@@ -97,7 +98,8 @@ def process_block_batch(
     corpus.
     """
     spark = batch_df.sparkSession
-    feats = page_features(batch_df, num_hashes=num_hashes)
+    if feats is None:
+        feats = page_features(batch_df, num_hashes=num_hashes)
     keys = (
         band_keys_from_sig(feats, bands, rows_per_band)
         .withColumn("bucket", F.pmod(F.col("block_key"), F.lit(n_buckets)).cast("int"))
@@ -233,6 +235,236 @@ def compact_blocks_store(
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _update_clusters(
+    spark: SparkSession, store_dir: str, links: DataFrame, n_buckets: int
+) -> None:
+    """Incremental connected-components maintenance over the clusters
+    store (`clusters/nbucket=<pmod(xxhash64(node))>` → (node, component),
+    component = min node id of the cluster — the batch pipeline's id
+    convention, so incremental and batch agree exactly).
+
+    Per batch: lift new links to COMPONENT-level edges via the current
+    mapping (new nodes stand for themselves), run CC on that reduced
+    graph (batch-sized, not corpus-sized), then rewrite ONLY the node
+    buckets containing affected rows (members of merged components +
+    new nodes) with dynamic partition overwrite.  The mapping scan to
+    find members of merged components is a narrow columnar scan, linear
+    in the corpus; every WRITE is bucket-pruned.  Idempotent under
+    retry: merging already-merged components is a no-op, so replaying a
+    batch's links (or resuming after a partial bucket rewrite) converges
+    to the same mapping — component ids are global min node ids,
+    independent of merge order."""
+    from ..operators.cc import connected_components
+
+    base = f"{store_dir}/clusters"
+    li = links.select("url_a", "url_b").distinct().persist()
+    old = spark.read.parquet(base) if os.path.isdir(base) else None
+
+    if old is not None:
+        ca = old.select(F.col("node").alias("url_a"), F.col("component").alias("ca"))
+        cb = old.select(F.col("node").alias("url_b"), F.col("component").alias("cb"))
+        lifted = (
+            li.join(ca, "url_a", "left")
+            .join(cb, "url_b", "left")
+            .select(
+                F.coalesce("ca", "url_a").alias("src"),
+                F.coalesce("cb", "url_b").alias("dst"),
+            )
+        )
+    else:
+        lifted = li.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+    comp_edges = lifted.filter(F.col("src") != F.col("dst")).distinct().persist()
+    if comp_edges.limit(1).count() == 0:
+        li.unpersist()
+        comp_edges.unpersist()
+        return
+    comp_cc = connected_components(
+        comp_edges, src_col="src", dst_col="dst"
+    ).persist()  # (node = old component id or new node, component = new id)
+
+    link_nodes = (
+        li.select(F.col("url_a").alias("node"))
+        .union(li.select(F.col("url_b").alias("node")))
+        .distinct()
+    )
+    if old is not None:
+        new_nodes = link_nodes.join(old, "node", "left_anti")
+        changed = comp_cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("component"), F.col("component").alias("newc")
+        )
+        affected_old = old.join(changed, "component").select(
+            "node", F.col("newc").alias("component")
+        )
+    else:
+        new_nodes = link_nodes
+        affected_old = None
+    new_rows = new_nodes.join(comp_cc, "node", "left").select(
+        F.col("node"), F.coalesce("component", "node").alias("component")
+    )
+    updates = (
+        new_rows if affected_old is None else affected_old.unionByName(new_rows)
+    ).withColumn(
+        "nbucket", F.pmod(F.xxhash64("node"), F.lit(n_buckets)).cast("int")
+    ).persist()
+
+    upd_buckets = [r["nbucket"] for r in updates.select("nbucket").distinct().collect()]
+    current = read_store_buckets(spark, base, upd_buckets, col="nbucket")
+    if current is not None:
+        keep = current.join(updates.select("node"), "node", "left_anti").select(
+            "node", "component", "nbucket"
+        )
+        merged = keep.unionByName(updates.select("node", "component", "nbucket"))
+    else:
+        merged = updates.select("node", "component", "nbucket")
+    # merged's lineage READS the very partitions the write replaces —
+    # cut the file lineage (eager localCheckpoint) before overwriting
+    merged = merged.repartition(max(1, len(upd_buckets)), "nbucket").localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("nbucket")
+        .parquet(base)
+    )
+    for df in (li, comp_edges, comp_cc, updates):
+        df.unpersist()
+
+
+def read_clusters(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(node, component) for every ingested page: the maintained mapping
+    for linked nodes, singletons (their own component) derived from the
+    features store — same contract as the batch pipeline's clusters
+    output."""
+    feats = spark.read.parquet(f"{store_dir}/features").select("url").distinct()
+    base = f"{store_dir}/clusters"
+    if not os.path.isdir(base):
+        return feats.select(
+            F.col("url").alias("node"), F.col("url").alias("component")
+        )
+    mapped = spark.read.parquet(base).select("node", "component")
+    singles = (
+        feats.select(F.col("url").alias("node"))
+        .join(mapped, "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return mapped.unionByName(singles)
+
+
+def process_linkage_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    num_hashes: int = 32,
+    n_buckets: int = 64,
+    tau: float = 0.62,
+    weights: dict | None = None,
+    prefix_len: int = 64,
+) -> None:
+    """The FULL flagship per micro-batch: features → incremental blocking
+    → exactly-once new candidate pairs (process_block_batch) → fused
+    scoring of the new pairs (same Arrow kernels as batch) → τ links →
+    incremental cluster maintenance (_update_clusters).  An arriving
+    micro-batch therefore updates `clusters`, not just candidate pairs —
+    the streaming pipeline ends where the batch pipeline ends.
+
+    Stores (all bucket-first, dynamic-overwrite idempotent):
+      features/fbucket/batch_id — narrow hydration relation
+      blocks/bucket/batch_id, pairs/pbucket/batch_id — as before
+      links/pbucket/batch_id   — scored ≥ τ edges of this batch's pairs
+      clusters/nbucket         — mutable (node → component) mapping
+
+    Exactly-once links follow from exactly-once pairs (links are a pure
+    per-row function of a pair's two feature rows); cluster updates are
+    idempotent-converging under retry (see _update_clusters).  The
+    equivalence contract — stream N batches ≡ run the batch pipeline on
+    the union corpus — is asserted in tests/test_streaming.py."""
+    spark = batch_df.sparkSession
+    feats = page_features(
+        batch_df, num_hashes=num_hashes, prefix_len=prefix_len
+    ).withColumn(
+        "fbucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    ).persist()
+    (
+        feats.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("fbucket", "batch_id")
+        .parquet(f"{store_dir}/features")
+    )
+    process_block_batch(
+        batch_df, batch_id, store_dir, bands, rows_per_band, num_hashes,
+        n_buckets, feats=feats.drop("fbucket"),
+    )
+    # this batch's COMMITTED new pairs (exactly-once across batches)
+    pairs_base = f"{store_dir}/pairs"
+    if not os.path.isdir(pairs_base):
+        feats.unpersist()
+        return
+    new_pairs = (
+        spark.read.parquet(pairs_base)
+        .filter(F.col("batch_id") == batch_id)
+        .select("url_a", "url_b")
+        .persist()
+    )
+    fbuckets = [
+        r["b"]
+        for r in new_pairs.select(
+            F.explode(
+                F.array(
+                    F.pmod(F.xxhash64("url_a"), F.lit(n_buckets)).cast("int"),
+                    F.pmod(F.xxhash64("url_b"), F.lit(n_buckets)).cast("int"),
+                )
+            ).alias("b")
+        ).distinct().collect()
+    ]
+    hydr = read_store_buckets(spark, f"{store_dir}/features", fbuckets, col="fbucket")
+    if hydr is None:
+        new_pairs.unpersist()
+        feats.unpersist()
+        return
+    from ..operators.scoring import match_links, score_pairs_from_features
+
+    scored = score_pairs_from_features(
+        new_pairs, hydr.select("url", "vec", "sig", "prefix"), weights
+    )
+    links = match_links(scored, tau).persist()
+    (
+        links.withColumn(
+            "pbucket",
+            F.pmod(F.xxhash64("url_a", "url_b"), F.lit(n_buckets)).cast("int"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pbucket", "batch_id")
+        .parquet(f"{store_dir}/links")
+    )
+    _update_clusters(spark, store_dir, links, n_buckets)
+    links.unpersist()
+    new_pairs.unpersist()
+    feats.unpersist()
+
+
+def incremental_linkage(
+    pages_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """writeStream wrapper running the FULL pipeline per micro-batch —
+    the streaming counterpart of run_linkage."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_linkage_batch(batch_df, batch_id, store_dir, **kwargs)
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
 
 
 def incremental_blocking(

@@ -270,3 +270,50 @@ def test_pages_per_window_watermark(spark, tmp_path):
     assert set(res.columns) == {"window_start", "window_end", "lang", "n_pages"}
     total = res.agg(F.sum("n_pages")).collect()[0][0] or 0
     assert total <= 200
+
+
+def test_streaming_linkage_equals_batch_pipeline(spark, tmp_path):
+    """The FULL streaming pipeline (features → blocking → exactly-once
+    pairs → scoring → τ links → incremental cluster maintenance) over N
+    micro-batches must produce EXACTLY the batch pipeline's clusters on
+    the union corpus — same (node, component) rows, min-node component
+    ids included.  Batch config matches the streaming path's channels:
+    band blocking only, uncapped, prefix 64."""
+    from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
+    from biomedical_el_spark.streaming.incremental import (
+        process_linkage_batch,
+        read_clusters,
+    )
+
+    store = str(tmp_path / "store_full")
+    pages = generate_pages(spark, 120, cluster_size=4).drop("entity_id").cache()
+    shards = [
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i).cache()
+        for i in range(3)
+    ]
+    for i, shard in enumerate(shards):
+        process_linkage_batch(shard, i, store, n_buckets=8)
+
+    streamed = {
+        (r["node"], r["component"])
+        for r in read_clusters(spark, store).collect()
+    }
+    batch = run_linkage(
+        spark,
+        pages,
+        cfg=LinkageConfig(
+            use_embedding_blocks=False, max_block_size=None, jw_prefix=64
+        ),
+    )
+    expected = {
+        (r["node"], r["component"]) for r in batch["clusters"].collect()
+    }
+    assert streamed == expected
+
+    # replaying the last batch (crash-retry) must not change the answer
+    process_linkage_batch(shards[2], 2, store, n_buckets=8)
+    again = {
+        (r["node"], r["component"])
+        for r in read_clusters(spark, store).collect()
+    }
+    assert again == expected

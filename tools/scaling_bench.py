@@ -195,7 +195,7 @@ def _clean_stale_tmp(min_age_secs: int = 3600) -> None:
 
 def _disk_preflight(n_pages: int) -> None:
     """Fail fast (after cleanup) if /tmp can't hold the leg's shuffle."""
-    need_gb = 15 + 3.5 * n_pages / 1_000_000
+    need_gb = 10 + 3.0 * n_pages / 1_000_000
     free_gb = shutil.disk_usage("/tmp").free / 1e9
     if free_gb < need_gb:
         _clean_stale_tmp(min_age_secs=0)
