@@ -249,8 +249,14 @@ def run_linkage(
         lambda: S.score_pairs_from_features(pairs, features, cfg.weights),
     )
     if store is not None:
-        store.write(M.score_histogram(scored), "metrics_score_hist", cfg_fp)
-        store.write(M.partition_lineage(scored, "scored"), "metrics_lineage", cfg_fp)
+        # commit-once like every stage: a resumed run must not re-scan
+        # the scored snapshot just to rewrite identical metric tables
+        if not store.committed("metrics_score_hist", cfg_fp):
+            store.write(M.score_histogram(scored), "metrics_score_hist", cfg_fp)
+        if not store.committed("metrics_lineage", cfg_fp):
+            store.write(
+                M.partition_lineage(scored, "scored"), "metrics_lineage", cfg_fp
+            )
 
     links = snap("links", lambda: S.match_links(scored, cfg.tau))
 

@@ -46,6 +46,17 @@ CHECKS = {
         "BroadcastNestedLoopJoin",
         "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin",
     ],
+    # k-means IVF: Lloyd assignment is broadcast × partial-aggregated
+    # struct-max (map-side combine, NO vectors through the exchange);
+    # search hydration is id-keyed equi-joins
+    "ann_ivf_kmeans_topk": [
+        "BroadcastNestedLoopJoin",
+        "partial_max",
+        "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin",
+    ],
+    # capped pair-gen: sizes pass partial-aggregates (count,min) before
+    # its exchange; oversized keys leave via a small-side anti-join
+    "er_capped_star_pairs": ["partial_count", "partial_min", "LeftAnti"],
 }
 
 
