@@ -317,3 +317,44 @@ def test_streaming_linkage_equals_batch_pipeline(spark, tmp_path):
         for r in read_clusters(spark, store).collect()
     }
     assert again == expected
+
+
+def test_incremental_linkage_stream_wrapper(spark, tmp_path):
+    """incremental_linkage (the writeStream wrapper over
+    process_linkage_batch) runs end-to-end from file drops through the
+    streaming checkpoint: clusters exist and re-running the stream with
+    the same checkpoint is a no-op (no duplicated state)."""
+    from biomedical_el_spark.streaming.incremental import (
+        incremental_linkage,
+        read_clusters,
+        read_page_stream,
+    )
+
+    src = str(tmp_path / "drops_full")
+    store = str(tmp_path / "store_stream_full")
+    ckpt = str(tmp_path / "ckpt_stream_full")
+    pages = generate_pages(spark, 60, cluster_size=4).drop("entity_id").cache()
+    for i in range(2):
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i).coalesce(
+            1
+        ).write.parquet(src + f"/shard={i}")
+
+    stream = read_page_stream(spark, src + "/shard=*", max_files=1)
+    q = incremental_linkage(stream, store, ckpt, n_buckets=8).start()
+    q.awaitTermination(180)
+    first = {
+        (r["node"], r["component"])
+        for r in read_clusters(spark, store).collect()
+    }
+    assert len(first) == 60
+    assert len({c for _, c in first}) < 60  # real merges happened
+
+    # restart against the same checkpoint: committed batches don't re-run
+    stream2 = read_page_stream(spark, src + "/shard=*", max_files=1)
+    q2 = incremental_linkage(stream2, store, ckpt, n_buckets=8).start()
+    q2.awaitTermination(120)
+    again = {
+        (r["node"], r["component"])
+        for r in read_clusters(spark, store).collect()
+    }
+    assert again == first

@@ -131,6 +131,18 @@ the term host vCPU noise amplifies.  Occupancy rising along the curve is
 the direct evidence that the remaining gap is fixed overhead, not a
 shuffle or operator that stops scaling.
 
+## Round-over-round (same protocol; host-day spin spreads: r2 1.35×, r3 1.65×, r4 in table above)
+
+| point | round 2 | round 3 | round 4 |
+|---|---|---|---|
+| 4c/1M best s | 128.43 | 142.88 | {report['times'].get('4c_1000000', '—')} |
+| 16c/1M best s | 70.62 | 66.8 | {report['times'].get('16c_1000000', '—')} |
+| 4c/4M best s | — | ~520 (derived) | {report['times'].get('4c_4000000', '—')} |
+| 16c/4M best s | 253.21 | 340.66 | {report['times'].get('16c_4000000', '—')} |
+| 16c/16M best s | — | 1197.36 | {report['times'].get('16c_16000000', '—')} |
+| weak eff @1M base | 0.507 | 0.419 | {next((c['weak_efficiency'] for c in curve if c['base_pages'] == 1000000), '—')} |
+| weak eff @4M base | — | 0.434 | {next((c['weak_efficiency'] for c in curve if c['base_pages'] == 4000000), '—')} |
+
 ## Strong scaling (same input, {lo}→{hi} cores)
 
 | corpus | T({lo}c) s | T({hi}c) s | strong eff |
