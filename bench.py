@@ -154,7 +154,7 @@ def _scaling_summary() -> dict:
     if not curve:
         return {}
     biggest = curve[-1]
-    return {
+    out = {
         "scaling_efficiency_weak": biggest["weak_efficiency"],
         "scaling_weak_base_pages": biggest["base_pages"],
         "scaling_efficiency_weak_curve": {
@@ -162,6 +162,25 @@ def _scaling_summary() -> dict:
         },
         "scaling_efficiency_strong": r.get("strong_efficiency", {}),
     }
+    # round-4 corrections (BENCH.md methodology): per-leg spin-speed
+    # normalization and the engine-attributable number with the measured
+    # single-box DRAM-contention ceiling (tools/membw_control.py) removed
+    mb_path = os.path.join(os.path.dirname(path), "membw_control.json")
+    bw = None
+    if os.path.exists(mb_path):
+        with open(mb_path) as f:
+            bw = json.load(f)["dram_256mb"]["per_core_ratio_hi_over_lo"]
+    if "weak_eff_speed_min" in biggest:
+        out["scaling_weak_speed_corrected_min"] = biggest["weak_eff_speed_min"]
+        out["scaling_work_linearity"] = biggest.get("work_linearity")
+    if bw and "work_linearity" in biggest:
+        lo, hi = r["lo_cores"], r["hi_cores"]
+        occ_ratio = biggest["occupancy"][f"{hi}c"] / biggest["occupancy"][f"{lo}c"]
+        out["scaling_efficiency_weak_engine_attributable"] = round(
+            occ_ratio * (1.0 / bw) / biggest["work_linearity"], 3
+        )
+        out["dram_percore_ratio_hi_over_lo"] = bw
+    return out
 
 
 if __name__ == "__main__":

@@ -195,9 +195,6 @@ def run_linkage(
             cfg.minhash_seed,
             prefix_len=cfg.jw_prefix,
             normalize_accents=cfg.normalize_accents,
-            # the TF-IDF channel reads shingle hashes off the features
-            # table (one Arrow pass) instead of re-tokenizing raw text
-            emit_shingles=cfg.use_tfidf_blocks,
         ),
     )
 
@@ -215,19 +212,22 @@ def run_linkage(
         if cfg.use_tfidf_blocks:
             # third recall channel (reference --use_tfidf_candidates):
             # rare-shingle keys catch low-Jaccard pairs that share one
-            # distinctive phrase.  Reads the shingle hashes emitted by
-            # the feature pass (no second tokenization of raw text).
-            # Hashed into their own key namespace — a 64-bit collision
-            # can only ADD a candidate pair.
-            from ..operators.blocking import tfidf_blocks_from_features
+            # distinctive phrase.  Hashed into their own key namespace —
+            # a 64-bit collision can only ADD a candidate pair.
+            # Deliberately the TEXT-based channel: the round-4
+            # shared-shingle variant (emit_shingles=True +
+            # tfidf_blocks_from_features) was A/B'd at 1M pages and
+            # measured WORSE (+117% wall vs +69% for this path) — the
+            # Arrow-pass shingle emission and the widened persisted
+            # features relation cost more than the JVM re-tokenization
+            # they save; both operators remain available and tested.
+            from ..operators.blocking import tfidf_blocks
 
-            tf = tfidf_blocks_from_features(features, top_w=cfg.tfidf_top_w)
+            tf = tfidf_blocks(paged, top_w=cfg.tfidf_top_w)
             blk = blk.unionByName(
                 tf.select(
                     "url",
-                    F.xxhash64(
-                        F.lit("tfidf"), F.col("block_key").cast("string")
-                    ).alias("block_key"),
+                    F.xxhash64(F.lit("tfidf"), F.col("block_key")).alias("block_key"),
                 )
             )
         return blk
