@@ -11,6 +11,7 @@ aggregates are rounded to fixed decimals to absorb summation-order noise.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1564,3 +1565,33 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@register("stream_linkage_clusters", None)  # numpy feature kernels are not
+# SQL-expressible, so no DuckDB oracle (driver records the rows-only
+# check); stream == batch equivalence incl. component ids is gated in
+# tests/test_streaming.py::test_streaming_linkage_equals_batch_pipeline
+def stream_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL STREAMING pipeline through the driver gate: documents
+    split into two deterministic micro-batches, each run through
+    process_linkage_batch (features store → incremental blocking →
+    exactly-once pairs → fused scoring → τ links → incremental cluster
+    maintenance), then the final (node, component) mapping read back
+    with singletons.  Deterministic: the store is rebuilt from scratch
+    per call and every batch op is idempotent."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import process_linkage_batch, read_clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    store = os.path.join(tempfile.gettempdir(), f"stream_catalog_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    for i in range(2):
+        batch = docs.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
+        process_linkage_batch(batch, i, store, n_buckets=8)
+    return read_clusters(spark, store)
