@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "w_bio_decode",
+    "w_bio_decode_subword",
     "cc_customer_nation_region",
     "q1_pricing_summary",
     "q3_order_revenue",

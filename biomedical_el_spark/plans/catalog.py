@@ -1595,3 +1595,109 @@ def stream_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = docs.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
         process_linkage_batch(batch, i, store, n_buckets=8)
     return read_clusters(spark, store)
+
+
+@register(
+    "w_bio_decode_subword",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(range(0, len(words))) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 w -> w != '') AS words
+              FROM documents)
+    ),
+    tagged AS (
+        SELECT doc_id, pos,
+               CASE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                         || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 5
+                    WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+                    ELSE 0 END AS tag,
+               CASE WHEN CAST('0x' || substr(md5('c:' || CAST(doc_id AS VARCHAR)
+                         || ':' || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 4 = 0
+                    THEN 1 ELSE 0 END AS cont,
+               max(pos) OVER (PARTITION BY doc_id) + 1 AS L
+        FROM toks
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               max(pos) OVER (PARTITION BY doc_id, grp) AS isl_end
+        FROM (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM tagged WHERE cont = 1 AND pos <= L - 2)
+    ),
+    rws AS (
+        SELECT t.doc_id, t.pos, t.tag, t.L,
+               coalesce(i.isl_end - t.pos, 0) AS c,
+               sum(coalesce(i.isl_end - t.pos, 0))
+                   OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                         ROWS UNBOUNDED PRECEDING) AS csum
+        FROM tagged t LEFT JOIN isl i
+          ON i.doc_id = t.doc_id AND i.pos = t.pos + 1
+    ),
+    interior AS (
+        SELECT doc_id, pos, tag, c, csum,
+               sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS span_no
+        FROM rws WHERE pos >= 1 AND pos <= L - 2
+    ),
+    bounds AS (
+        SELECT doc_id, span_no, min(pos) AS p0, max(pos) AS pk,
+               max(CASE WHEN tag = 1 THEN pos END) AS lastB
+        FROM interior WHERE tag != 0
+        GROUP BY doc_id, span_no
+    ),
+    t0 AS (SELECT doc_id, tag AS tag0 FROM tagged WHERE pos = 0)
+    SELECT b.doc_id,
+           CAST(b.span_no AS BIGINT) AS span_no,
+           CAST(coalesce(b.lastB,
+                         CASE WHEN b.p0 = 1 AND t0.tag0 != 0 THEN 0
+                              ELSE b.p0 END) AS BIGINT) AS span_start,
+           CAST(b.pk + (rk.csum - ra.csum + ra.c) AS BIGINT) AS span_end,
+           CAST(b.pk + (rk.csum - ra.csum + ra.c)
+                - coalesce(b.lastB,
+                           CASE WHEN b.p0 = 1 AND t0.tag0 != 0 THEN 0
+                                ELSE b.p0 END) + 1 AS BIGINT) AS n_tokens
+    FROM bounds b
+    JOIN t0 ON t0.doc_id = b.doc_id
+    JOIN rws ra ON ra.doc_id = b.doc_id AND ra.pos = coalesce(b.lastB, b.p0)
+    JOIN rws rk ON rk.doc_id = b.doc_id AND rk.pos = b.pk
+    """,
+)
+def w_bio_decode_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 with the reference's WordPiece `##` continuation clause — the
+    last previously-excluded clause of get_mention_spans
+    (run_e2e_span.py:411-447), as the proved closed form in
+    operators/bio.bio_span_decode_subword (exhaustively verified against
+    the faithful sequential spec, including the reference's dead-loop
+    double-counting and stale position-0 anchor).  Tags and continuation
+    flags are deterministic synthetic streams (md5 of doc_id:pos, two
+    salts) over the documents table's real token positions; the DuckDB
+    oracle implements the same closed form end-to-end at hash level."""
+    from ..operators.bio import bio_span_decode_subword
+
+    docs = _t(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id", F.size(X.tokens(X.normalize_text(F.col("text")))).alias("n")
+    )
+    toks = ntok.filter(F.col("n") > 0).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos")
+    )
+    h = H.hex_prefix_to_long(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos")))
+    )
+    tag = (
+        F.when(F.pmod(h, F.lit(5)) == 2, 1)
+        .when(F.pmod(h, F.lit(5)).isin(3, 4), 2)
+        .otherwise(0)
+    )
+    hc = H.hex_prefix_to_long(
+        F.md5(F.concat_ws(":", F.lit("c"), F.col("doc_id"), F.col("pos")))
+    )
+    tagged = toks.withColumn("tag", tag).withColumn(
+        "cont", (F.pmod(hc, F.lit(4)) == 0).cast("int")
+    )
+    return bio_span_decode_subword(tagged).select(
+        "doc_id", "span_no", "span_start", "span_end", "n_tokens"
+    )

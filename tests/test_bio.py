@@ -59,3 +59,35 @@ def test_catalog_bio_decode_shape(spark):
     ).count()
     out.unpersist()
     assert bad == 0
+
+
+def test_subword_window_decode_matches_sequential_exhaustively(spark):
+    """The `##` subword clause closed form vs the FULL reference walk
+    (including its dead-j-increment double counting and the stale
+    position-0 anchor): every (tags, cont) pair of length <= 6 —
+    exhaustive, not sampled (~56k documents, one decode pass)."""
+    from biomedical_el_spark.operators.bio import (
+        bio_decode_sequential_subword,
+        bio_span_decode_subword,
+    )
+
+    docs = []
+    for n in range(1, 7):
+        for tags in product((0, 1, 2), repeat=n):
+            for cont in product((0, 1), repeat=n):
+                docs.append((list(tags), list(cont)))
+    rows = [
+        (i, pos, tag, c)
+        for i, (tags, cont) in enumerate(docs)
+        for pos, (tag, c) in enumerate(zip(tags, cont))
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, pos int, tag int, cont int")
+    got = {}
+    for r in bio_span_decode_subword(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    mismatches = []
+    for i, (tags, cont) in enumerate(docs):
+        want = bio_decode_sequential_subword(tags, cont)
+        if sorted(got.get(i, [])) != sorted(want):
+            mismatches.append((tags, cont, sorted(got.get(i, [])), sorted(want)))
+    assert not mismatches, mismatches[:5]
