@@ -101,6 +101,8 @@ def candidate_pairs_grouped(
     closure recovers the full cluster; for junk collisions the hub edges
     simply fail scoring.  Scoring stays the gate either way.
     """
+    if escape not in (None, "star"):
+        raise ValueError(f"unknown oversized-block escape: {escape!r}")
     if max_block_size is None:
         grouped = blocks.groupBy("block_key").agg(
             F.sort_array(F.collect_list("url")).alias("members"),
@@ -135,8 +137,6 @@ def candidate_pairs_grouped(
             .select(F.col("hub").alias("url_a"), F.col("url").alias("url_b"))
         )
         pairs = pairs.unionByName(star)
-    elif escape is not None:
-        raise ValueError(f"unknown oversized-block escape: {escape!r}")
     return pairs.distinct(), oversized
 
 

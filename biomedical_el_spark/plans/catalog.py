@@ -776,7 +776,11 @@ def _ivf_kmeans_parts(
             "embedding",
             lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
         ).alias("q"),
-    ).persist()
+        # localCheckpoint, not persist: repeated invocations (bench
+        # best-of-2, recall sweeps) must not pin a fresh full-corpus
+        # cache each call — checkpoint blocks are reaped by the
+        # ContextCleaner once the relation is GC'd
+    ).localCheckpoint()
     cents = (
         qv.filter(F.col("vec_id") % 13 == 2)
         .orderBy("vec_id")

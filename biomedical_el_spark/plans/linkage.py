@@ -119,7 +119,20 @@ def _estimate_rows(pages: DataFrame, sample_files: int = 64) -> int:
         for f in files:
             u = urlparse(f)
             if u.scheme not in ("", "file"):
-                return 0  # remote FS: let the caller fall back
+                # remote FS (hdfs/s3/...): footers aren't reachable from
+                # the driver without extra deps, but the scan's catalyst
+                # statistics (file-size sum, still metadata-only) are.
+                # Rows ~ bytes/1KB assumes >=1 KB per compressed page;
+                # overestimating rows only ADDS partitions — the safe
+                # direction (the alternative, est=0, silently reverts to
+                # the fixed 2x-parallelism width that round 3 measured
+                # as the 16M-page straggler bug).
+                size = int(
+                    pages._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+                if 0 < size < 10**15:  # guard the "unknown" sentinel
+                    return size // 1024
+                return 0
             paths.append(u.path)
         step = max(1, len(paths) // sample_files)
         sampled = paths[::step]

@@ -50,8 +50,14 @@ def iceberg_confs(warehouse: str, jars: str | None = None) -> dict[str, str]:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff the Iceberg Spark runtime is on the session's classpath."""
+    """True iff the Iceberg Spark runtime is on the classpath AND the
+    `graft` catalog is configured on this session.  Classpath alone is
+    not enough: many distros ship the runtime jars by default, and
+    constructing the store against an unconfigured catalog would kill
+    the job at CREATE NAMESPACE."""
     try:
+        if not spark.conf.get(f"spark.sql.catalog.{CATALOG}", None):
+            return False
         spark.sparkContext._jvm.java.lang.Class.forName(
             "org.apache.iceberg.spark.SparkCatalog"
         )
@@ -131,10 +137,19 @@ class IcebergSnapshotStore(SnapshotStore):
 
 
 def open_store(
-    spark: SparkSession, root: str, namespace: str = "linkage"
+    spark: SparkSession, root: str, namespace: str | None = None
 ) -> SnapshotStore | IcebergSnapshotStore | Any:
     """Pick the best available store: Iceberg tables when the runtime is
-    loaded, the parquet+manifest store otherwise."""
+    loaded AND the catalog configured, the parquet+manifest store
+    otherwise.  The Iceberg namespace is derived from `root` so two jobs
+    with different --output targets never share (or clobber) stage
+    tables."""
     if iceberg_available(spark):
+        if namespace is None:
+            import hashlib
+            import re
+
+            slug = re.sub(r"[^A-Za-z0-9_]+", "_", root).strip("_")[:40]
+            namespace = f"linkage_{slug}_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
         return IcebergSnapshotStore(spark, namespace)
     return SnapshotStore(root)

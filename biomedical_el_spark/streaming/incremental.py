@@ -361,7 +361,9 @@ def process_linkage_batch(
     n_buckets: int = 64,
     tau: float = 0.62,
     weights: dict | None = None,
-    prefix_len: int = 64,
+    # matches LinkageConfig.jw_prefix's default so stream==batch holds
+    # under DEFAULT configs, not just in the test's explicit pairing
+    prefix_len: int = 32,
 ) -> None:
     """The FULL flagship per micro-batch: features → incremental blocking
     → exactly-once new candidate pairs (process_block_batch) → fused
@@ -425,8 +427,20 @@ def process_linkage_batch(
         new_pairs.unpersist()
         feats.unpersist()
         return
+    from pyspark.sql import Window as _W
+
     from ..operators.scoring import match_links, score_pairs_from_features
 
+    # a re-crawled url exists under several batch_ids in the features
+    # store; NEW pairs must score against its LATEST features only
+    # (pairs committed by earlier batches keep their at-ingest scores —
+    # the incremental contract)
+    latest = _W.partitionBy("url").orderBy(F.col("batch_id").desc())
+    hydr = (
+        hydr.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     scored = score_pairs_from_features(
         new_pairs, hydr.select("url", "vec", "sig", "prefix"), weights
     )

@@ -277,8 +277,8 @@ def test_streaming_linkage_equals_batch_pipeline(spark, tmp_path):
     pairs → scoring → τ links → incremental cluster maintenance) over N
     micro-batches must produce EXACTLY the batch pipeline's clusters on
     the union corpus — same (node, component) rows, min-node component
-    ids included.  Batch config matches the streaming path's channels:
-    band blocking only, uncapped, prefix 64."""
+    ids included.  Batch config matches the streaming path's channels
+    (band blocking only, uncapped); scoring params are BOTH defaults."""
     from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
     from biomedical_el_spark.streaming.incremental import (
         process_linkage_batch,
@@ -301,9 +301,7 @@ def test_streaming_linkage_equals_batch_pipeline(spark, tmp_path):
     batch = run_linkage(
         spark,
         pages,
-        cfg=LinkageConfig(
-            use_embedding_blocks=False, max_block_size=None, jw_prefix=64
-        ),
+        cfg=LinkageConfig(use_embedding_blocks=False, max_block_size=None),
     )
     expected = {
         (r["node"], r["component"]) for r in batch["clusters"].collect()

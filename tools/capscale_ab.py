@@ -42,7 +42,9 @@ spark = get_spark("capscale-ab", cores=cores, shuffle_partitions=2 * cores)
 pages = spark.read.parquet(pages_dir)
 pages.count()
 
-warm = run_linkage(spark, pages.limit(20000), cfg=cfg)
+import dataclasses
+warm_cfg = dataclasses.replace(cfg, num_partitions=2 * cores)
+warm = run_linkage(spark, pages.limit(20000), cfg=warm_cfg)
 warm["clusters"].write.format("noop").mode("overwrite").save()
 for df in warm.values():
     df.unpersist()
