@@ -128,3 +128,28 @@ def test_iceberg_snapshot_store_resume(spark, tmp_path):
     n = first["clusters"].count()
     again = run_linkage(spark, pages, store=store, input_fingerprint="ice-v1")
     assert again["clusters"].count() == n
+
+
+def test_open_store_gating_and_namespace(spark, tmp_path):
+    """open_store falls back to the parquet store when the runtime is
+    absent — even if a graft catalog CONF is present (classpath probe) —
+    and Iceberg namespaces derive from the output root (distinct roots
+    never share stage tables)."""
+    from biomedical_el_spark.sources.iceberg import (
+        SnapshotStore,
+        iceberg_available,
+        open_store,
+    )
+
+    assert iceberg_available(spark) is False  # no conf, no jars
+    spark.conf.set(
+        "spark.sql.catalog.graft", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        # conf present but class absent in this container: still False,
+        # and open_store must degrade instead of dying at CREATE NAMESPACE
+        assert iceberg_available(spark) is False
+        store = open_store(spark, str(tmp_path / "wh"))
+        assert isinstance(store, SnapshotStore)
+    finally:
+        spark.conf.unset("spark.sql.catalog.graft")
