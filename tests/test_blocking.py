@@ -154,3 +154,50 @@ def test_salted_join_matches_plain_join(spark, pages):
     s = {tuple(r) for r in salted.select("url_a", "url_b", "lang_a", "lang_b").collect()}
     p = {tuple(r) for r in plain.select("url_a", "url_b", "lang_a", "lang_b").collect()}
     assert s == p
+
+
+def test_pair_generators_agree_on_random_block_tables(spark):
+    """Property check over 20 seeded random block tables (varying key
+    skew and cap): the join-based plan, the two-pass grouped plan, and
+    the brute-force python reference all emit the same pair set, and
+    star-escape output equals (capped pairs) ∪ (hub pairs of oversized
+    blocks) computed independently."""
+    import itertools
+    import random
+
+    for seed in range(20):
+        rng = random.Random(seed)
+        n_urls = rng.randint(2, 40)
+        n_keys = rng.randint(1, 8)
+        cap = rng.randint(2, 6)
+        rows = sorted(
+            {
+                (f"u{rng.randrange(n_urls):02d}", f"k{rng.randrange(n_keys)}")
+                for _ in range(rng.randint(1, 120))
+            }
+        )
+        blocks = spark.createDataFrame(rows, "url string, block_key string")
+
+        by_key: dict[str, list[str]] = {}
+        for u, k in rows:
+            by_key.setdefault(k, []).append(u)
+        want_capped = {
+            (a, b)
+            for k, us in by_key.items()
+            if len(us) <= cap
+            for a, b in itertools.combinations(sorted(us), 2)
+        }
+        want_star = want_capped | {
+            (min(us), u)
+            for k, us in by_key.items()
+            if len(us) > cap
+            for u in us
+            if u != min(us)
+        }
+
+        j, _ = P.candidate_pairs(blocks, max_block_size=cap)
+        g, _ = P.candidate_pairs_grouped(blocks, max_block_size=cap, escape=None)
+        st, _ = P.candidate_pairs_grouped(blocks, max_block_size=cap, escape="star")
+        assert {tuple(r) for r in j.collect()} == want_capped, seed
+        assert {tuple(r) for r in g.collect()} == want_capped, seed
+        assert {tuple(r) for r in st.collect()} == want_star, seed
