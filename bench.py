@@ -163,24 +163,20 @@ def _scaling_summary() -> dict:
         },
         "scaling_efficiency_strong": r.get("strong_efficiency", {}),
     }
-    # round-4 corrections (BENCH.md methodology): per-leg spin-speed
-    # normalization and the engine-attributable number with the measured
-    # single-box DRAM-contention ceiling (tools/membw_control.py) removed
-    mb_path = os.path.join(os.path.dirname(path), "membw_control.json")
-    bw = None
-    if os.path.exists(mb_path):
-        with open(mb_path) as f:
-            bw = json.load(f)["dram_256mb"]["per_core_ratio_hi_over_lo"]
+    # round-4 additions (BENCH.md methodology): per-leg spin-speed
+    # normalization plus the Spark-free concurrency-control envelope
+    # (per-core throughput ratio at 16- vs 4-way, min-max over repeated
+    # runs — the measured single-box ceiling; too unstable for a single
+    # corrected number, so none is claimed)
     if "weak_eff_speed_min" in biggest:
         out["scaling_weak_speed_corrected_min"] = biggest["weak_eff_speed_min"]
         out["scaling_work_linearity"] = biggest.get("work_linearity")
-    if bw and "work_linearity" in biggest:
         lo, hi = r["lo_cores"], r["hi_cores"]
-        occ_ratio = biggest["occupancy"][f"{hi}c"] / biggest["occupancy"][f"{lo}c"]
-        out["scaling_efficiency_weak_engine_attributable"] = round(
-            occ_ratio * (1.0 / bw) / biggest["work_linearity"], 3
-        )
-        out["dram_percore_ratio_hi_over_lo"] = bw
+        out["scaling_occupancy_gate_point"] = biggest.get("occupancy")
+    runs_path = os.path.join(os.path.dirname(path), "concurrency_controls_runs.json")
+    if os.path.exists(runs_path):
+        with open(runs_path) as f:
+            out["sparkfree_percore_ratio_envelope"] = json.load(f)["envelope"]
     return out
 
 

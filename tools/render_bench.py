@@ -31,32 +31,16 @@ def render(
     ann: dict | None,
     capscale: dict | None,
     resume: dict | None,
-    membw: dict | None = None,
 ) -> str:
     lo, hi = report["lo_cores"], report["hi_cores"]
     factor = hi // lo
     curve = report["weak_curve"]
-    # engine-attributable efficiency: strip the MEASURED single-box DRAM
-    # ceiling (membw control) out of the measured busy-time inflation;
-    # what remains is occupancy ratio / residual engine inflation
-    bw_ratio = (membw or {}).get("dram_256mb", {}).get(
-        "per_core_ratio_hi_over_lo"
-    )
-
-    def eff_engine(c):
-        if not bw_ratio or "work_linearity" not in c:
-            return None
-        occ_ratio = c["occupancy"][f"{hi}c"] / c["occupancy"][f"{lo}c"]
-        return round(occ_ratio * (1.0 / bw_ratio) / c["work_linearity"], 3)
-
-    engine_col = {c["base_pages"]: eff_engine(c) for c in curve}
     rows = "\n".join(
         f"| {c['base_pages']:,} → {c['base_pages']*factor:,} "
         f"| {c[f'sec_{lo}c']} | {c[f'sec_{hi}c_{factor}x']} "
         f"| {c[f'pages_per_sec_{lo}c']:,} | {c[f'pages_per_sec_{hi}c']:,} "
         f"| **{c['weak_efficiency']}** | {c.get('weak_eff_speed_mean', '—')} "
-        f"| {c.get('weak_eff_speed_min', '—')} | {c.get('work_linearity', '—')} "
-        f"| **{engine_col.get(c['base_pages']) if engine_col.get(c['base_pages']) is not None else '—'}** |"
+        f"| {c.get('weak_eff_speed_min', '—')} | {c.get('work_linearity', '—')} |"
         for c in curve
     )
     instr_rows = "\n".join(
@@ -79,7 +63,6 @@ def render(
     b_min = biggest.get("weak_eff_speed_min", biggest["weak_efficiency"])
     b_work = biggest.get("work_linearity", None)
 
-    b_engine = engine_col.get(biggest["base_pages"])
 
     doc = f"""# BENCH — flagship linkage throughput & scaling efficiency
 
@@ -127,14 +110,19 @@ point — the judge-requested engine-attributable numbers:
 
 ## Weak-scaling curve ({lo}→{hi} cores, {factor}× data — the N→4N stand-in)
 
-| corpus ({lo}c → {hi}c) | T({lo}c) s | T({hi}c, {factor}×) s | pages/s ({lo}c) | pages/s ({hi}c) | weak eff (raw) | speed-corr (mean) | speed-corr (min) | work linearity | engine-attributable |
-|---|---|---|---|---|---|---|---|---|---|
+| corpus ({lo}c → {hi}c) | T({lo}c) s | T({hi}c, {factor}×) s | pages/s ({lo}c) | pages/s ({hi}c) | weak eff (raw) | speed-corr (mean) | speed-corr (min) | work linearity |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 
 **Largest point ({biggest['base_pages']:,}→{biggest['base_pages']*factor:,} pages): raw weak efficiency
 {biggest['weak_efficiency']}, speed-corrected {b_mean} (mean) / {b_min} (min-core),
-work linearity {b_work}{f", ENGINE-ATTRIBUTABLE {b_engine}" if b_engine is not None else ""}** against the
-≥ 0.8 target{" — the engine-attributable number meets the gate; the raw number is bounded by a measured single-box hardware ceiling a real N→4N fleet does not have (see the bandwidth-ceiling section)" if b_engine is not None and b_engine >= 0.8 else ""}.
+work linearity {b_work}** against the ≥ 0.8 target — NOT met in-sandbox
+on the raw or speed-corrected numbers.  What the per-run evidence DOES
+establish: the engine's scheduling is clean (occupancy/dead table below)
+and the entire busy-time inflation sits inside the MEASURED Spark-free
+concurrency envelope of this host (controls section below) — but that
+envelope is too unstable minute-to-minute to support a single corrected
+number, so none is claimed.
 
 ## Per-run instrumentation (occupancy / dead / tail / spin, lo-leg / hi-leg)
 
@@ -183,51 +171,48 @@ wall time is gated by the slowest vCPU in the allocation — that is what
 `eff_speed_min` corrects for using measured, same-window rates instead of
 a side experiment.
 
-## Memory-bandwidth ceiling (what the residual busy-time inflation is)
+## Per-core-slowdown controls (what the busy-time inflation is — and is not)
 
 At the two biggest points both legs run at near-full occupancy (0.92 /
 0.96 at 4M→16M) with dead fractions under 6% — the engine keeps every
-core fed, and neither dead time nor barrier tails can explain the raw
+core fed, so neither driver dead time nor barrier tails explain the raw
 gap.  What remains is that each core is SLOWER WHILE BUSY at 16-way
-concurrency.  `tools/membw_control.py` measures exactly that with no
-Spark in the loop (per-core throughput of pinned concurrent workloads
-at 4 vs 16 cores):
+concurrency (work_linearity 2.1–2.3×).  `tools/concurrency_controls.py`
+measures per-core throughput of three SPARK-FREE workloads at 4 vs 16
+concurrent pinned processes; across 7 control runs spread over ~40
+minutes (`tools/concurrency_controls_runs.json`) the 16c/4c per-core
+ratios were:
 
-| workload | per-core at 4c | per-core at 16c | ratio (16c/4c) |
-|---|---|---|---|
-| cache-resident (1 MB) | @CACHE4@ GB/s | @CACHE16@ GB/s | @CACHER@ |
-| DRAM-bound (256 MB streaming) | @DRAM4@ GB/s | @DRAM16@ GB/s | **@DRAMR@** |
+| workload | per-core ratio (16c/4c), min–max over runs |
+|---|---|
+| cache-resident compute (1 MB) | 0.77 – 0.92 |
+| DRAM streaming (64 MB) | 0.42 – 0.88 |
+| **the actual feature kernel** (embedder+minhash, no Spark) | **0.47 – 0.94** |
 
-Per-core DRAM bandwidth HALVES at 16 concurrent cores (ratio @DRAMR@ ⇒
-an expected busy-time inflation of @BWINF@× for bandwidth-bound work) —
-and the measured `work_linearity` of the big points (2.1–2.3×) matches
-it almost exactly.  A shuffle/scan/Arrow engine is bandwidth-hungry by
-nature; on ONE box, 4N-way concurrency divides one memory bus, while
-the north rule's actual shape — N→4N EXECUTORS — multiplies hosts and
-memory buses together.  The **engine-attributable** column above
-removes only this measured hardware ceiling (and nothing else):
-engine_eff = (occ_hi/occ_lo) × (1/@DRAMR@) / work_linearity.  It sits
-at ~0.95–1.0 across the curve, i.e. the engine itself scales; the
-sandbox's shared memory bus does not.
+So a 16-core allocation on this host delivers between 0.47× and 0.94×
+of the 4-core per-core throughput FOR PURE PYTHON/NUMPY WORK WITH NO
+SPARK IN THE LOOP, varying minute to minute — an envelope whose slow
+end (≈2.1× inflation) covers the flagship's measured work_linearity
+entirely.  GC adds a measured 7.5% (4c/1M) → 13.0% (16c/4M) of wall
+(`tools/gc_probe.py`).  Honest conclusions: (a) the engine's
+scheduling, partitioning and operator work all scale (occupancy ≈ full,
+work per page constant up to the measured host envelope); (b) the
+in-sandbox gate number is dominated by single-box effects — unstable
+vCPU delivery at 16-way and shared memory/disk — that a real N→4N
+EXECUTOR fleet (4N hosts, 4N memory buses, 4N disks) does not share;
+(c) the envelope's instability means no single corrected efficiency can
+be defended, and none is claimed.
+
+**Retraction note:** an earlier round-4 draft claimed an
+engine-attributable efficiency of 0.945 from a measured DRAM per-core
+ratio of 0.474.  That ratio came from a first-cut bandwidth control
+whose 3-second window fit ~1 copy of a 256 MB buffer — per-core rates
+quantized to junk.  The fixed control (64 MB buffers, page-fault
+warm-up, 5 s windows, repeats) produced the envelope above, and the
+single-number claim is withdrawn.
+
 """
 
-    if membw:
-        cm, dm = membw["cache_1mb"], membw["dram_256mb"]
-        for k, v in {
-            "@CACHE4@": cm[f"per_core_gbps_{lo}c"],
-            "@CACHE16@": cm[f"per_core_gbps_{hi}c"],
-            "@CACHER@": cm["per_core_ratio_hi_over_lo"],
-            "@DRAM4@": dm[f"per_core_gbps_{lo}c"],
-            "@DRAM16@": dm[f"per_core_gbps_{hi}c"],
-            "@DRAMR@": dm["per_core_ratio_hi_over_lo"],
-            "@BWINF@": round(1.0 / dm["per_core_ratio_hi_over_lo"], 2),
-        }.items():
-            doc = doc.replace(k, str(v))
-    else:
-        start = doc.find("## Memory-bandwidth ceiling")
-        end = doc.find("## ", start + 10)
-        if start != -1 and end != -1:
-            doc = doc[:start] + doc[end:]
 
     if capscale:
         r3, st, sa = capscale["r3"], capscale["star"], capscale["star_auto"]
@@ -364,7 +349,6 @@ def main() -> None:
         _load(os.path.join(tools, "ann_recall.json")),
         _load(os.path.join(tools, "capscale_ab.json")),
         _load(os.path.join(tools, "resume_bench.json")),
-        _load(os.path.join(tools, "membw_control.json")),
     )
     with open(os.path.join(repo, "BENCH.md"), "w") as f:
         f.write(doc)
