@@ -150,11 +150,16 @@ def tfidf_blocks_from_features(
 ) -> DataFrame:
     """The TF-IDF rare-shingle channel over a features table that already
     carries per-doc distinct shingle HASHES (page_features
-    emit_shingles=True) — same semantics as `tfidf_blocks` (df≥2 filter,
-    per-url top-`top_w` rarest, deterministic (df, key) tie-break) with
-    the tokenize+shingle work amortized into the one batched Arrow
-    feature pass instead of a second JVM tokenization of raw text.
-    Emits (url, block_key:bigint, df)."""
+    emit_shingles=True) — same SELECTION RULE as `tfidf_blocks` (df≥2
+    filter, per-url top-`top_w` rarest, deterministic (df, key)
+    tie-break) applied to the minhash kernel's byte-level 3-shingle
+    hashes rather than `tfidf_blocks`' text shingles: the selected keys
+    (and hence candidate blocks) can differ on tie order — (df,
+    int64-hash) here vs (df, string) there — and on any tokenization
+    divergence.  The emitted block_key is the raw bigint hash, NOT
+    namespaced like run_linkage's tfidf channel keys; namespace it
+    before unioning into a multi-channel block set.  Emits (url,
+    block_key:bigint, df)."""
     from pyspark.sql import Window
 
     doc_sh = features.select("url", F.explode(sh_col).alias("shk"))

@@ -1572,33 +1572,67 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("stream_linkage_clusters", None)  # numpy feature kernels are not
-# SQL-expressible, so no DuckDB oracle (driver records the rows-only
-# check); stream == batch equivalence incl. component ids is gated in
-# tests/test_streaming.py::test_streaming_linkage_equals_batch_pipeline
+# SQL-expressible, so no DuckDB oracle — but the query is SELF-VERIFYING:
+# it also runs the BATCH pipeline (run_linkage) on the union corpus and
+# returns only the inner join of the two (node, component) mappings,
+# asserting all three counts agree.  A stream/batch divergence therefore
+# fails the driver row (AssertionError), not just a silent count drift;
+# reference semantics anchor: run_e2e_span.py:570-575.
 def stream_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL STREAMING pipeline through the driver gate: documents
     split into two deterministic micro-batches, each run through
     process_linkage_batch (features store → incremental blocking →
     exactly-once pairs → fused scoring → τ links → incremental cluster
-    maintenance), then the final (node, component) mapping read back
-    with singletons.  Deterministic: the store is rebuilt from scratch
-    per call and every batch op is idempotent."""
-    import hashlib
+    maintenance), the final (node, component) mapping read back with
+    singletons — then VERIFIED in-query against the batch pipeline on
+    the union corpus (band channel, uncapped — the streaming path's
+    channels) before any row is returned.  Deterministic: a fresh
+    mkdtemp store per invocation (concurrent driver/bench runs over the
+    same fixture can no longer race each other's rmtree), every batch
+    op idempotent."""
     import shutil
     import tempfile
 
     from ..streaming.incremental import process_linkage_batch, read_clusters
+    from .linkage import LinkageConfig, run_linkage
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    store = os.path.join(tempfile.gettempdir(), f"stream_catalog_{tag}")
-    shutil.rmtree(store, ignore_errors=True)
-    for i in range(2):
-        batch = docs.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
-        process_linkage_batch(batch, i, store, n_buckets=8)
-    return read_clusters(spark, store)
+    store = tempfile.mkdtemp(prefix="stream_catalog_")
+    batch_stages: dict[str, DataFrame] = {}
+    try:
+        for i in range(2):
+            batch = docs.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
+            process_linkage_batch(batch, i, store, n_buckets=8)
+        streamed = read_clusters(spark, store)
+        batch_stages = run_linkage(
+            spark,
+            docs,
+            cfg=LinkageConfig(use_embedding_blocks=False, max_block_size=None),
+        )
+        expected = batch_stages["clusters"].select("node", "component")
+        # localCheckpoint cuts the file lineage so the returned rows
+        # survive the store cleanup below (driver collects after return)
+        verified = (
+            streamed.join(expected, ["node", "component"], "inner")
+            .localCheckpoint()
+        )
+        n_stream, n_batch, n_agree = (
+            streamed.count(), expected.count(), verified.count()
+        )
+        assert n_stream == n_batch == n_agree, (
+            f"stream/batch cluster divergence: stream={n_stream} "
+            f"batch={n_batch} agree={n_agree}"
+        )
+        return verified
+    finally:
+        for df in batch_stages.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        shutil.rmtree(store, ignore_errors=True)
 
 
 @register(

@@ -91,13 +91,20 @@ class IcebergSnapshotStore(SnapshotStore):
         return f"{CATALOG}.{self.namespace}.{stage}"
 
     def committed(self, stage: str, fp: str) -> bool:
+        # `SHOW TBLPROPERTIES` works on v2 catalog tables through Spark's
+        # own analyzer (Iceberg exposes no `.properties` metadata table —
+        # `<t>$properties` is a Trino feature).  Table-absent is the only
+        # expected failure, detected explicitly so real errors (catalog
+        # misconfig, permission) surface instead of silently forcing a
+        # full recompute of every stage.
+        from pyspark.sql.utils import AnalysisException
+
         try:
             rows = self.spark.sql(
-                f"SELECT value FROM {self._table(stage)}.properties"
-                f" WHERE key = '{self.FP_PROP}'"
+                f"SHOW TBLPROPERTIES {self._table(stage)} ('{self.FP_PROP}')"
             ).collect()
-        except Exception:
-            return False  # table absent
+        except AnalysisException:
+            return False  # table absent (TABLE_OR_VIEW_NOT_FOUND)
         return bool(rows) and rows[0]["value"] == fp
 
     def write(
@@ -112,10 +119,15 @@ class IcebergSnapshotStore(SnapshotStore):
         writer = df.writeTo(self._table(stage)).using("iceberg").tableProperty(
             self.FP_PROP, fp
         )
-        for c in partition_by or []:
-            writer = writer.partitionedBy(
-                bucket(16, col(c)) if c == "url" else col(c)
-            )
+        # DataFrameWriterV2.partitionedBy REPLACES prior partitioning
+        # rather than appending — build the transform list and make ONE
+        # call so multi-column partition_by keeps every column.
+        transforms = [
+            bucket(16, col(c)) if c == "url" else col(c)
+            for c in (partition_by or [])
+        ]
+        if transforms:
+            writer = writer.partitionedBy(transforms[0], *transforms[1:])
         # one atomic metadata swap commits data + fingerprint together
         writer.createOrReplace()
 
@@ -149,6 +161,11 @@ def open_store(
             import hashlib
             import re
 
+            # SAFETY CONTRACT: `root` is user-supplied and the namespace
+            # is later interpolated into SQL (committed()/CREATE
+            # NAMESPACE).  This slug regex is what keeps that safe —
+            # it must stay [A-Za-z0-9_]-only; do not relax it without
+            # switching those call sites to parameterized identifiers.
             slug = re.sub(r"[^A-Za-z0-9_]+", "_", root).strip("_")[:40]
             namespace = f"linkage_{slug}_{hashlib.sha256(root.encode()).hexdigest()[:8]}"
         return IcebergSnapshotStore(spark, namespace)

@@ -32,6 +32,7 @@ Also provides the watermarked windowed ingest-rate aggregation
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -237,32 +238,157 @@ def compact_blocks_store(
     shutil.rmtree(old, ignore_errors=True)
 
 
+CLUSTERS = "clusters"
+CLUSTERS_MIRROR = "clusters_by_comp"
+
+
+def _journal_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "clusters_commit.json")
+
+
+def _write_journal(store_dir: str, spec: dict) -> None:
+    """Write-ahead intent log for the multi-bucket swap, made visible in
+    one atomic rename — the commit point.  Before it exists, only
+    staging dirs were touched; after, roll-forward completes the swap."""
+    tmp = _journal_path(store_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    os.replace(tmp, _journal_path(store_dir))
+
+
+def _commit_swaps(store_dir: str, spec: dict, fail_after: int | None = None) -> None:
+    """Apply a journaled bucket swap: for each store, rename staged
+    bucket dirs into place and drop buckets the update emptied.  Every
+    step is idempotent (src-missing ⇒ already swapped; rmtree tolerates
+    absence), so re-running after a crash at ANY point completes the
+    same commit.  `fail_after` (tests only) raises after N bucket
+    renames to simulate a crash mid-swap."""
+    done = 0
+    for sw in spec["swaps"]:
+        base = os.path.join(store_dir, sw["store"])
+        staging = os.path.join(store_dir, sw["store"] + "_staging")
+        os.makedirs(base, exist_ok=True)
+        for b in sw["swap"]:
+            src = os.path.join(staging, f"{sw['col']}={b}")
+            dst = os.path.join(base, f"{sw['col']}={b}")
+            if os.path.isdir(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(src, dst)
+                done += 1
+                if fail_after is not None and done >= fail_after:
+                    raise RuntimeError("injected crash mid-swap (test)")
+        for b in sw.get("drop", []):
+            shutil.rmtree(os.path.join(base, f"{sw['col']}={b}"), ignore_errors=True)
+    for sw in spec["swaps"]:
+        shutil.rmtree(
+            os.path.join(store_dir, sw["store"] + "_staging"), ignore_errors=True
+        )
+    os.remove(_journal_path(store_dir))
+
+
+def _recover_clusters(store_dir: str) -> None:
+    """Roll forward (or discard) an interrupted clusters commit.  Journal
+    present ⇒ the commit point passed: complete the swap so the mapping
+    is never observed partially applied (the pre-round-5 dynamic
+    overwrite could crash mid-way and leave a permanently split cluster
+    when the replay's lifted edges all collapsed to src==dst).  No
+    journal ⇒ any staging dirs are pre-commit garbage from a crashed
+    write; remove them."""
+    j = _journal_path(store_dir)
+    if os.path.exists(j):
+        with open(j) as f:
+            spec = json.load(f)
+        _commit_swaps(store_dir, spec)
+        return
+    for s in (CLUSTERS, CLUSTERS_MIRROR):
+        shutil.rmtree(os.path.join(store_dir, s + "_staging"), ignore_errors=True)
+
+
+def _staged_buckets(staging: str, col: str) -> list[int]:
+    if not os.path.isdir(staging):
+        return []
+    return [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(staging)
+        if d.startswith(f"{col}=")
+    ]
+
+
 def _update_clusters(
     spark: SparkSession, store_dir: str, links: DataFrame, n_buckets: int
 ) -> None:
     """Incremental connected-components maintenance over the clusters
     store (`clusters/nbucket=<pmod(xxhash64(node))>` → (node, component),
     component = min node id of the cluster — the batch pipeline's id
-    convention, so incremental and batch agree exactly).
+    convention, so incremental and batch agree exactly) plus a
+    component-keyed mirror (`clusters_by_comp/cbucket=
+    <pmod(xxhash64(component))>`, same rows) so EVERY per-batch read is
+    bucket-pruned: the link-endpoint lift reads only the nbuckets the
+    batch's urls hash into, and the members-of-merged-components lookup
+    reads only the cbuckets of the components the batch actually merges
+    — no corpus-linear scan anywhere in the batch path.
 
-    Per batch: lift new links to COMPONENT-level edges via the current
-    mapping (new nodes stand for themselves), run CC on that reduced
-    graph (batch-sized, not corpus-sized), then rewrite ONLY the node
-    buckets containing affected rows (members of merged components +
-    new nodes) with dynamic partition overwrite.  The mapping scan to
-    find members of merged components is a narrow columnar scan, linear
-    in the corpus; every WRITE is bucket-pruned.  Idempotent under
-    retry: merging already-merged components is a no-op, so replaying a
-    batch's links (or resuming after a partial bucket rewrite) converges
-    to the same mapping — component ids are global min node ids,
-    independent of merge order."""
+    Crash consistency: both stores are updated through ONE staged,
+    journaled, idempotent bucket swap (`_write_journal`/`_commit_swaps`,
+    rolled forward by `_recover_clusters` at entry).  A crash before the
+    journal rename leaves the old mapping fully intact (replay
+    recomputes identically); a crash after it is completed by roll-
+    forward before the replay lifts anything — a partially-applied
+    mapping is never observable, which is what makes the empty-
+    comp_edges early return safe.  On a cluster this journal is exactly
+    the atomic multi-partition snapshot commit Iceberg provides
+    natively.  Component ids are global min node ids, independent of
+    merge order, so replaying a batch's links is always convergent."""
     from ..operators.cc import connected_components
 
-    base = f"{store_dir}/clusters"
-    li = links.select("url_a", "url_b").distinct().persist()
-    old = spark.read.parquet(base) if os.path.isdir(base) else None
+    _recover_clusters(store_dir)
+    base = os.path.join(store_dir, CLUSTERS)
+    mirror = os.path.join(store_dir, CLUSTERS_MIRROR)
+    # the swap renames files OUTSIDE Spark — drop any cached file
+    # listing for both stores before reading them
+    spark.catalog.refreshByPath(base)
+    spark.catalog.refreshByPath(mirror)
+    have_old = os.path.isdir(base)
+    if have_old and not os.path.isdir(mirror):
+        # one-time backfill for stores created before the mirror existed;
+        # single os.rename makes it atomic (partial build never visible)
+        tmp = mirror + "_backfill"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(base)
+            .select("node", "component")
+            .withColumn(
+                "cbucket",
+                F.pmod(F.xxhash64("component"), F.lit(n_buckets)).cast("int"),
+            )
+            .repartition(n_buckets, "cbucket")
+            .write.partitionBy("cbucket")
+            .parquet(tmp)
+        )
+        os.rename(tmp, mirror)
 
+    li = links.select("url_a", "url_b").distinct().persist()
+    link_nodes = (
+        li.select(F.col("url_a").alias("node"))
+        .union(li.select(F.col("url_b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # lift reads ONLY the nbuckets the batch's endpoints hash into
+    # (bounded collect: ≤ n_buckets ints)
+    node_buckets = [
+        r["b"]
+        for r in link_nodes.select(
+            F.pmod(F.xxhash64("node"), F.lit(n_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+    ]
+    old = (
+        read_store_buckets(spark, base, node_buckets, col="nbucket")
+        if have_old
+        else None
+    )
     if old is not None:
+        old = old.select("node", "component")
         ca = old.select(F.col("node").alias("url_a"), F.col("component").alias("ca"))
         cb = old.select(F.col("node").alias("url_b"), F.col("component").alias("cb"))
         lifted = (
@@ -277,28 +403,41 @@ def _update_clusters(
         lifted = li.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
     comp_edges = lifted.filter(F.col("src") != F.col("dst")).distinct().persist()
     if comp_edges.limit(1).count() == 0:
-        li.unpersist()
-        comp_edges.unpersist()
+        # safe: recovery above guarantees the mapping these edges were
+        # lifted through is a fully-committed one
+        for df in (li, link_nodes, comp_edges):
+            df.unpersist()
         return
     comp_cc = connected_components(
         comp_edges, src_col="src", dst_col="dst"
     ).persist()  # (node = old component id or new node, component = new id)
 
-    link_nodes = (
-        li.select(F.col("url_a").alias("node"))
-        .union(li.select(F.col("url_b").alias("node")))
-        .distinct()
-    )
     if old is not None:
         new_nodes = link_nodes.join(old, "node", "left_anti")
         changed = comp_cc.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias("component"), F.col("component").alias("newc")
-        )
-        affected_old = old.join(changed, "component").select(
-            "node", F.col("newc").alias("component")
+        ).persist()
+        # members of merged components: read ONLY their cbuckets from the
+        # component-keyed mirror (bounded collect: ≤ n_buckets ints)
+        chg_cbuckets = [
+            r["b"]
+            for r in changed.select(
+                F.pmod(F.xxhash64("component"), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            ).distinct().collect()
+        ]
+        members = read_store_buckets(spark, mirror, chg_cbuckets, col="cbucket")
+        affected_old = (
+            members.select("node", "component").join(changed, "component").select(
+                "node", F.col("newc").alias("component")
+            )
+            if members is not None
+            else None
         )
     else:
         new_nodes = link_nodes
+        changed = None
         affected_old = None
     new_rows = new_nodes.join(comp_cc, "node", "left").select(
         F.col("node"), F.coalesce("component", "node").alias("component")
@@ -307,37 +446,90 @@ def _update_clusters(
         new_rows if affected_old is None else affected_old.unionByName(new_rows)
     ).withColumn(
         "nbucket", F.pmod(F.xxhash64("node"), F.lit(n_buckets)).cast("int")
+    ).withColumn(
+        "cbucket", F.pmod(F.xxhash64("component"), F.lit(n_buckets)).cast("int")
     ).persist()
 
+    # ---- stage the node-keyed store ----
     upd_buckets = [r["nbucket"] for r in updates.select("nbucket").distinct().collect()]
+    node_staging = base + "_staging"
+    shutil.rmtree(node_staging, ignore_errors=True)
     current = read_store_buckets(spark, base, upd_buckets, col="nbucket")
+    node_out = updates.select("node", "component", "nbucket")
     if current is not None:
         keep = current.join(updates.select("node"), "node", "left_anti").select(
             "node", "component", "nbucket"
         )
-        merged = keep.unionByName(updates.select("node", "component", "nbucket"))
-    else:
-        merged = updates.select("node", "component", "nbucket")
-    # merged's lineage READS the very partitions the write replaces —
-    # cut the file lineage (eager localCheckpoint) before overwriting
-    merged = merged.repartition(max(1, len(upd_buckets)), "nbucket").localCheckpoint()
+        node_out = keep.unionByName(node_out)
     (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("nbucket")
-        .parquet(base)
+        node_out.repartition(max(1, len(upd_buckets)), "nbucket")
+        .write.partitionBy("nbucket")
+        .parquet(node_staging)
     )
-    for df in (li, comp_edges, comp_cc, updates):
+
+    # ---- stage the component-keyed mirror ----
+    # affected cbuckets: where updated rows LAND (their new component)
+    # plus where members of merged components CURRENTLY sit (old comp)
+    aff_c = updates.select("cbucket")
+    if changed is not None:
+        aff_c = aff_c.union(
+            changed.select(
+                F.pmod(F.xxhash64("component"), F.lit(n_buckets))
+                .cast("int")
+                .alias("cbucket")
+            )
+        )
+    aff_cbuckets = [r["cbucket"] for r in aff_c.distinct().collect()]
+    mirror_staging = mirror + "_staging"
+    shutil.rmtree(mirror_staging, ignore_errors=True)
+    mcurrent = read_store_buckets(spark, mirror, aff_cbuckets, col="cbucket")
+    mirror_out = updates.select("node", "component", "cbucket")
+    if mcurrent is not None:
+        mkeep = mcurrent.join(updates.select("node"), "node", "left_anti").select(
+            "node", "component", "cbucket"
+        )
+        mirror_out = mkeep.unionByName(mirror_out)
+    (
+        mirror_out.repartition(max(1, len(aff_cbuckets)), "cbucket")
+        .write.partitionBy("cbucket")
+        .parquet(mirror_staging)
+    )
+
+    # ---- journal + atomic-equivalent swap of BOTH stores ----
+    # a cbucket whose rows ALL moved elsewhere produces no staging dir;
+    # it must be dropped, not left stale
+    mirror_staged = _staged_buckets(mirror_staging, "cbucket")
+    spec = {
+        "swaps": [
+            {"store": CLUSTERS, "col": "nbucket", "swap": upd_buckets, "drop": []},
+            {
+                "store": CLUSTERS_MIRROR,
+                "col": "cbucket",
+                "swap": mirror_staged,
+                "drop": sorted(set(aff_cbuckets) - set(mirror_staged)),
+            },
+        ]
+    }
+    _write_journal(store_dir, spec)
+    _commit_swaps(store_dir, spec)
+    spark.catalog.refreshByPath(base)
+    spark.catalog.refreshByPath(mirror)
+    for df in (li, link_nodes, comp_edges, comp_cc, updates):
         df.unpersist()
+    if changed is not None:
+        changed.unpersist()
 
 
 def read_clusters(spark: SparkSession, store_dir: str) -> DataFrame:
     """(node, component) for every ingested page: the maintained mapping
     for linked nodes, singletons (their own component) derived from the
     features store — same contract as the batch pipeline's clusters
-    output."""
-    feats = spark.read.parquet(f"{store_dir}/features").select("url").distinct()
+    output.  Rolls forward any interrupted clusters commit first, so a
+    reader never observes a partially-swapped mapping."""
+    _recover_clusters(store_dir)
     base = f"{store_dir}/clusters"
+    spark.catalog.refreshByPath(base)
+    feats = spark.read.parquet(f"{store_dir}/features").select("url").distinct()
     if not os.path.isdir(base):
         return feats.select(
             F.col("url").alias("node"), F.col("url").alias("component")
