@@ -66,6 +66,42 @@ BENCH_QUERIES = [
 REPEATS = 2  # best-of-2: see module docstring
 
 
+def _spin_probe(cores: int, secs: float = 2.5) -> dict:
+    """Pinned per-vCPU spin-rate probe — the same host noisy-neighbor
+    control tools/scaling_bench.py runs around every scaling leg, now
+    run before and after the bench so every BENCH_r*.json
+    self-documents its host conditions (r4 verdict #1: the driver bench
+    regressed ~1.4x across untouched pure-JVM queries with no way to
+    attribute host vs code).  `max_over_min` is the same-window noise
+    spread (quiet day ~1.0-1.1, bad day 1.3-1.9); `mean_rate` is an
+    absolute per-core speed so wall times are speed-normalizable across
+    rounds (rate units cancel in ratios)."""
+    import multiprocessing as mp
+
+    def spin(q, cpu, s):
+        os.sched_setaffinity(0, {cpu})
+        n = 0
+        t0 = time.time()
+        x = 1.0
+        while time.time() - t0 < s:
+            for _ in range(10000):
+                x = x * 1.0000001 + 0.1
+            n += 10000
+        q.put(n / (time.time() - t0))
+
+    q = mp.Queue()
+    ps = [mp.Process(target=spin, args=(q, i, secs)) for i in range(cores)]
+    [p.start() for p in ps]
+    rates = sorted(q.get() for _ in ps)
+    [p.join() for p in ps]
+    mean = sum(rates) / len(rates)
+    return {
+        "mean_rate": round(mean, 0),
+        "min_over_mean": round(rates[0] / mean, 3),
+        "max_over_min": round(rates[-1] / rates[0], 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -76,6 +112,8 @@ def main() -> None:
     from biomedical_el_spark.plans import catalog
     from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
     from biomedical_el_spark.session import get_spark
+
+    spin_before = _spin_probe(cpus)
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
@@ -122,6 +160,8 @@ def main() -> None:
         shutil.rmtree(pages_dir, ignore_errors=True)
     results["linkage_e2e"] = round(linkage_sec, 3)
 
+    spin_after = _spin_probe(cpus)
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -134,6 +174,11 @@ def main() -> None:
                 "pages_per_sec": round(n_pages / linkage_sec, 1),
                 "n_pages": n_pages,
                 "cpus": cpus,
+                "spin_before": spin_before,
+                "spin_after": spin_after,
+                "spin_spread": round(
+                    (spin_before["max_over_min"] + spin_after["max_over_min"]) / 2, 3
+                ),
                 **_scaling_summary(),
             }
         )

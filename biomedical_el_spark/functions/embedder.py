@@ -44,6 +44,9 @@ def _embed_batch(texts: pd.Series, dim: int = DIM) -> np.ndarray:
         tri, seg3 = tri[valid], seg[:-2][valid]
         idx = (tri % np.uint64(dim)).astype(np.int64)
         sign = 1.0 - 2.0 * ((tri >> np.uint64(32)) & np.uint64(1)).astype(np.float64)
+        # np.add.at, NOT bincount(weights=...): A/B'd (r5) — numpy 1.26+
+        # vectorized ufunc.at (3x faster here); weighted bincount is the
+        # non-SIMD legacy path
         np.add.at(out, (seg3, idx), sign)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)

@@ -27,6 +27,28 @@ def _mix(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix_inplace(x: np.ndarray, t: np.ndarray) -> None:
+    """`_mix` with zero allocations: one reused scratch buffer, all ops
+    out=.  Bit-identical to `_mix` (same splitmix64 finalizer)."""
+    np.right_shift(x, np.uint64(30), out=t)
+    np.bitwise_xor(x, t, out=x)
+    np.multiply(x, _M1, out=x)
+    np.right_shift(x, np.uint64(27), out=t)
+    np.bitwise_xor(x, t, out=x)
+    np.multiply(x, _M2, out=x)
+    np.right_shift(x, np.uint64(31), out=t)
+    np.bitwise_xor(x, t, out=x)
+
+
+# shingle-chunk length for the seeded-minima loop: 2 uint64 buffers of
+# 16Ki stay ~256KB — L2-resident on any current core
+_CHUNK = 16384
+
+
 def minhash_batch(
     texts: pd.Series, num_hashes: int = 32, seed: int = 42
 ) -> np.ndarray:
@@ -106,14 +128,40 @@ def minhash_batch_shingles(
 
     counts = np.bincount(sh_seg, minlength=n)
     starts_per_doc = np.searchsorted(sh_seg, np.arange(n))
-    sh_guard = np.append(sh, np.uint64(0))  # protect reduceat at array end
     with np.errstate(over="ignore"):
         seeds = np.uint64(seed) + np.arange(num_hashes, dtype=np.uint64) * _Q1
-    for i in range(num_hashes):
-        hi = _mix(sh_guard ^ seeds[i])
-        hi[-1] = _SENTINEL
-        mins = np.minimum.reduceat(hi, starts_per_doc)
-        out[:, i] = np.where(counts > 0, mins, _SENTINEL)
+    # Seeded-minima loop, chunked and allocation-free (round-5 DRAM cut):
+    # the old form streamed the full shingle array plus ~6 `_mix`
+    # temporaries through DRAM once per hash — ~200KB of memory traffic
+    # per KB of text at 32 hashes, which is exactly the bandwidth
+    # pressure the weak-scaling probes measured.  Doc-aligned chunks of
+    # ≤16Ki shingles keep all 32 seeded mixes L2-resident (two reused
+    # scratch buffers, every op out=); results are bit-identical.
+    S = len(sh)
+    t1 = np.empty(_CHUNK + 1, dtype=np.uint64)
+    t2 = np.empty(_CHUNK + 1, dtype=np.uint64)
+    pos, d0 = 0, 0
+    while pos < S:
+        end = min(pos + _CHUNK, S)
+        # extend to the end of the doc containing element end-1 (a doc
+        # larger than _CHUNK simply becomes its own oversized chunk)
+        end = int(np.searchsorted(sh_seg, sh_seg[end - 1], side="right"))
+        clen = end - pos
+        if clen + 1 > len(t1):
+            t1 = np.empty(clen + 1, dtype=np.uint64)
+            t2 = np.empty(clen + 1, dtype=np.uint64)
+        d1 = int(sh_seg[end - 1])
+        rel = starts_per_doc[d0 : d1 + 1] - pos  # ≤ clen (guard slot ok)
+        cc = counts[d0 : d1 + 1] > 0
+        chunk = sh[pos:end]
+        v1, v2 = t1[: clen + 1], t2[: clen + 1]
+        for i in range(num_hashes):
+            np.bitwise_xor(chunk, seeds[i], out=v1[:clen])
+            _mix_inplace(v1, v2)
+            v1[clen] = _SENTINEL  # zero-shingle docs reduceat at clen
+            mins = np.minimum.reduceat(v1, rel)
+            out[d0 : d1 + 1, i] = np.where(cc, mins, _SENTINEL)
+        pos, d0 = end, d1 + 1
     if not emit_shingles:
         return out, None
     # per-doc DISTINCT shingle hashes (sh is already grouped by doc):

@@ -3,25 +3,47 @@ embedding (dual-encoder stand-in, SURVEY.md U1) and the MinHash signature
 together, so downstream blocking AND scoring read a narrow materialized
 relation instead of recomputing text kernels.
 
-    pages(url, text) → features(url, vec array<float>,
-                                sig array<bigint>, prefix string)
+    pages(url, text) → features(url, vec array<tinyint>,
+                                sig array<int>, prefix string)
+
+Storage dtypes (round-5 DRAM cut, ~600B/row → ~340B/row):
+  vec — int8 quantization of the L2-normalized embedding
+        (round(v·127)); cosine over the quantized vectors differs from
+        float cosine by <1e-2, far inside the τ margin, and the scorer
+        normalizes by the actual quantized norms so no scale leaks in.
+  sig — low 32 bits of each 64-bit minhash value; equality of the full
+        values implies equality of the truncations (band keys cannot be
+        LOST), and a false 32-bit agreement adds 2^-32 per component to
+        the Jaccard estimate — noise floor.
 
 At 10^12 pages this is the stage worth snapshotting (Iceberg table
 bucketed by url): blocking derives band keys from `sig` (pure projection,
-no shuffle), scoring hydrates pairs from it (~600B/row instead of
-multi-KB shingle arrays).
+no shuffle), scoring hydrates pairs from it (~340B/row instead of
+multi-KB shingle arrays), and both the snapshot and every hydration
+shuffle move ~45% fewer bytes than the float32/int64 encoding.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.embedder import DIM, _embed_batch
 from ..functions.minhash_np import minhash_batch_shingles
+
+
+def _quantize(vecs: np.ndarray) -> list:
+    """[N, dim] float32 unit vectors → [N] int8 arrays (round(v·127))."""
+    return list(np.rint(vecs * 127.0).astype(np.int8))
+
+
+def _sig32(sigs: np.ndarray) -> list:
+    """[N, k] uint64 minhash → [N] int32 arrays (low 32 bits)."""
+    return list(sigs.astype(np.uint32).view(np.int32))
 
 
 def page_features(
@@ -55,7 +77,7 @@ def page_features(
     if normalize_accents:
         from ..functions.text import strip_accents_batch
 
-        @F.pandas_udf(f"vec array<float>, sig array<bigint>, prefix string{sh_field}")
+        @F.pandas_udf(f"vec array<tinyint>, sig array<int>, prefix string{sh_field}")
         def feats_norm(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             for texts in batches:
                 texts = strip_accents_batch(texts)
@@ -64,8 +86,8 @@ def page_features(
                     texts, num_hashes, seed, emit_shingles=emit_shingles
                 )
                 cols = {
-                    "vec": list(vecs),
-                    "sig": list(sigs.astype("int64")),
+                    "vec": _quantize(vecs),
+                    "sig": _sig32(sigs),
                     "prefix": texts.str.slice(0, prefix_len),
                 }
                 if emit_shingles:
@@ -79,14 +101,14 @@ def page_features(
             F.col(id_col).alias("url"), feats_norm(F.col(text_col)).alias("f")
         ).select(*out_cols)
 
-    @F.pandas_udf(f"vec array<float>, sig array<bigint>{sh_field}")
+    @F.pandas_udf(f"vec array<tinyint>, sig array<int>{sh_field}")
     def feats(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in batches:
             vecs = _embed_batch(texts, DIM)
             sigs, shs = minhash_batch_shingles(
                 texts, num_hashes, seed, emit_shingles=emit_shingles
             )
-            cols = {"vec": list(vecs), "sig": list(sigs.astype("int64"))}
+            cols = {"vec": _quantize(vecs), "sig": _sig32(sigs)}
             if emit_shingles:
                 cols["sh"] = shs
             yield pd.DataFrame(cols)

@@ -103,16 +103,23 @@ def _score_kernels_udf(
     pa: pd.Series, pb: pd.Series,
 ) -> pd.DataFrame:
     """All three pairwise kernels in ONE Arrow pass over the hydrated
-    batch: cosine (float64 einsum over unit vectors — dot == cosine, 0.0
-    for zero vecs), signature-agreement Jaccard estimate, and the batched
-    Jaro-Winkler.  A/B-measured ~2× over the previous split plan (JVM
+    batch: cosine (float64 einsum, normalized by the actual vector norms
+    — exact for the int8-quantized storage encoding, and a no-op for
+    already-unit float vectors; 0.0 when either side is a zero vec),
+    signature-agreement Jaccard estimate (dtype-agnostic: int32
+    truncated or full int64 signatures), and the batched Jaro-Winkler.
+    A/B-measured ~2× over the previous split plan (JVM
     higher-order-function cosine/jaccard + separate JW UDF): the
     zip_with/aggregate HOFs allocate a per-row array and fold per element,
     which made the kernel stage GC-bound and core-count-insensitive;
     numpy does the same math allocation-free outside the JVM heap."""
     A = np.stack(va.to_numpy()).astype(np.float64)
     B = np.stack(vb.to_numpy()).astype(np.float64)
-    cos = np.einsum("ij,ij->i", A, B)
+    dot = np.einsum("ij,ij->i", A, B)
+    denom = np.sqrt(
+        np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+    )
+    cos = np.divide(dot, denom, out=np.zeros_like(dot), where=denom > 0)
     SA = np.stack(sa.to_numpy())
     SB = np.stack(sb.to_numpy())
     jac = (SA == SB).mean(axis=1)

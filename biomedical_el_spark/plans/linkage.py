@@ -158,6 +158,10 @@ def resolved_config(cfg: LinkageConfig, est: int) -> dict:
     cfg_dict.pop("checkpoint_dir")
     cfg_dict.pop("num_partitions")
     cfg_dict["hyperplanes"] = hp
+    # storage encoding of the features stage (int8 vec / int32 sig since
+    # r5): part of the semantics — a pre-change snapshot store must not
+    # be silently mixed with post-change stages
+    cfg_dict["features_schema"] = "q8s32"
     return cfg_dict
 
 

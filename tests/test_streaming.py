@@ -498,3 +498,65 @@ def test_clusters_mirror_pruned_member_scan(spark, tmp_path, monkeypatch):
     comps = {c for _, c in after}
     held_urls = {r["url"] for r in held.select("url").collect()}
     assert held_urls & comps
+
+
+def test_stream_kill_after_links_restart_equals_batch(
+    spark, tmp_path, monkeypatch
+):
+    """r4 verdict #5: kill the STREAM itself mid-batch — after the batch's
+    links are written but before _update_clusters touches the clusters
+    store — then restart `incremental_linkage` against the same
+    checkpoint.  The failed batch was never committed to the streaming
+    checkpoint, so the engine replays it; replay must converge to
+    exactly the batch pipeline's clusters on the union corpus (the
+    earlier crash tests drive process_linkage_batch directly — this one
+    exercises the real foreachBatch checkpoint-restart path)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    import biomedical_el_spark.streaming.incremental as inc
+    from biomedical_el_spark.plans.linkage import LinkageConfig, run_linkage
+
+    src = str(tmp_path / "drops_kill")
+    store = str(tmp_path / "store_kill")
+    ckpt = str(tmp_path / "ckpt_kill")
+    pages = generate_pages(spark, 90, cluster_size=3).drop("entity_id").cache()
+    for i in range(3):
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i).coalesce(
+            1
+        ).write.parquet(src + f"/shard={i}")
+
+    real = inc._update_clusters
+    calls = {"n": 0}
+
+    def dying(spark_, store_dir, links, n_buckets):
+        calls["n"] += 1
+        if calls["n"] == 2:  # links of micro-batch 1 are already on disk
+            raise RuntimeError("injected kill after links write")
+        return real(spark_, store_dir, links, n_buckets)
+
+    monkeypatch.setattr(inc, "_update_clusters", dying)
+    stream = inc.read_page_stream(spark, src + "/shard=*", max_files=1)
+    q = inc.incremental_linkage(stream, store, ckpt, n_buckets=8).start()
+    with pytest.raises(StreamingQueryException, match="injected kill"):
+        q.awaitTermination(180)
+    monkeypatch.setattr(inc, "_update_clusters", real)
+
+    # restart against the same checkpoint: the uncommitted batch replays
+    stream2 = inc.read_page_stream(spark, src + "/shard=*", max_files=1)
+    q2 = inc.incremental_linkage(stream2, store, ckpt, n_buckets=8).start()
+    q2.awaitTermination(180)
+
+    streamed = {
+        (r["node"], r["component"])
+        for r in inc.read_clusters(spark, store).collect()
+    }
+    batch = run_linkage(
+        spark,
+        pages,
+        cfg=LinkageConfig(use_embedding_blocks=False, max_block_size=None),
+    )
+    expected = {
+        (r["node"], r["component"]) for r in batch["clusters"].collect()
+    }
+    assert streamed == expected
