@@ -201,3 +201,36 @@ def test_pair_generators_agree_on_random_block_tables(spark):
         assert {tuple(r) for r in j.collect()} == want_capped, seed
         assert {tuple(r) for r in g.collect()} == want_capped, seed
         assert {tuple(r) for r in st.collect()} == want_star, seed
+
+
+def test_node_id_is_md5_and_key_safe(spark):
+    """`node_id` packs md5(url) into struct<h:bigint,l:bigint> — verify
+    bit-exactness against hashlib and that the struct works as a join/
+    group key (the properties its docstring promises)."""
+    import hashlib
+
+    from biomedical_el_spark.functions.hashing import node_id
+
+    urls = [
+        "https://example.com/a",
+        "https://example.com/a/very/long/path?q=1&r=2",
+        "http://xn--bcher-kva.example/ümlaut/ページ",
+        "",
+        "x" * 500,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: (r["nid"]["h"], r["nid"]["l"]) for r in
+           df.select("url", node_id(F.col("url")).alias("nid")).collect()}
+
+    def expect(u: str) -> tuple[int, int]:
+        d = hashlib.md5(u.encode("utf-8")).digest()
+        to_i64 = lambda b: int.from_bytes(b, "big", signed=True)
+        return to_i64(d[:8]), to_i64(d[8:])
+
+    assert got == {u: expect(u) for u in urls}
+
+    # struct key round-trips through a shuffle: self-join on nid re-pairs
+    # every url with itself exactly once
+    keyed = df.select("url", node_id(F.col("url")).alias("nid"))
+    j = keyed.join(keyed.withColumnRenamed("url", "url2"), "nid")
+    assert sorted((r["url"], r["url2"]) for r in j.collect()) == sorted((u, u) for u in urls)
