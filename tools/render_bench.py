@@ -25,12 +25,27 @@ def _load(path: str) -> dict | None:
     return None
 
 
+# Frozen best-of-N walls from prior rounds' scaling_results.json (the
+# render always re-runs against the CURRENT report, so history must be
+# pinned here, not recomputed).  Keyed by the round-over-round row label.
+HISTORY = {
+    "4c/1M best s": {"r2": "128.43", "r3": "142.88", "r4": "125.53"},
+    "16c/1M best s": {"r2": "70.62", "r3": "66.8", "r4": "78.52"},
+    "4c/4M best s": {"r2": "—", "r3": "~520 (derived)", "r4": "470.1"},
+    "16c/4M best s": {"r2": "253.21", "r3": "340.66", "r4": "272.92"},
+    "16c/16M best s": {"r2": "—", "r3": "1197.36", "r4": "1130.78"},
+    "weak eff @1M base": {"r2": "0.507", "r3": "0.419", "r4": "0.46"},
+    "weak eff @4M base": {"r2": "—", "r3": "0.434", "r4": "0.416"},
+}
+
+
 def render(
     report: dict,
     tfidf: dict | None,
     ann: dict | None,
     capscale: dict | None,
     resume: dict | None,
+    traffic: dict | None = None,
 ) -> str:
     lo, hi = report["lo_cores"], report["hi_cores"]
     factor = hi // lo
@@ -138,17 +153,17 @@ the term host vCPU noise amplifies.  Occupancy rising along the curve is
 the direct evidence that the remaining gap is fixed overhead, not a
 shuffle or operator that stops scaling.
 
-## Round-over-round (same protocol; host-day spin spreads: r2 1.35×, r3 1.65×, r4 in table above)
+## Round-over-round (same protocol; host-day spin spreads: r2 1.35×, r3 1.65×, r4 1.02×, current in table above)
 
-| point | round 2 | round 3 | round 4 |
-|---|---|---|---|
-| 4c/1M best s | 128.43 | 142.88 | {report['times'].get('4c_1000000', '—')} |
-| 16c/1M best s | 70.62 | 66.8 | {report['times'].get('16c_1000000', '—')} |
-| 4c/4M best s | — | ~520 (derived) | {report['times'].get('4c_4000000', '—')} |
-| 16c/4M best s | 253.21 | 340.66 | {report['times'].get('16c_4000000', '—')} |
-| 16c/16M best s | — | 1197.36 | {report['times'].get('16c_16000000', '—')} |
-| weak eff @1M base | 0.507 | 0.419 | {next((c['weak_efficiency'] for c in curve if c['base_pages'] == 1000000), '—')} |
-| weak eff @4M base | — | 0.434 | {next((c['weak_efficiency'] for c in curve if c['base_pages'] == 4000000), '—')} |
+| point | round 2 | round 3 | round 4 | this round |
+|---|---|---|---|---|
+| 4c/1M best s | {HISTORY['4c/1M best s']['r2']} | {HISTORY['4c/1M best s']['r3']} | {HISTORY['4c/1M best s']['r4']} | {report['times'].get('4c_1000000', '—')} |
+| 16c/1M best s | {HISTORY['16c/1M best s']['r2']} | {HISTORY['16c/1M best s']['r3']} | {HISTORY['16c/1M best s']['r4']} | {report['times'].get('16c_1000000', '—')} |
+| 4c/4M best s | {HISTORY['4c/4M best s']['r2']} | {HISTORY['4c/4M best s']['r3']} | {HISTORY['4c/4M best s']['r4']} | {report['times'].get('4c_4000000', '—')} |
+| 16c/4M best s | {HISTORY['16c/4M best s']['r2']} | {HISTORY['16c/4M best s']['r3']} | {HISTORY['16c/4M best s']['r4']} | {report['times'].get('16c_4000000', '—')} |
+| 16c/16M best s | {HISTORY['16c/16M best s']['r2']} | {HISTORY['16c/16M best s']['r3']} | {HISTORY['16c/16M best s']['r4']} | {report['times'].get('16c_16000000', '—')} |
+| weak eff @1M base | {HISTORY['weak eff @1M base']['r2']} | {HISTORY['weak eff @1M base']['r3']} | {HISTORY['weak eff @1M base']['r4']} | {next((c['weak_efficiency'] for c in curve if c['base_pages'] == 1000000), '—')} |
+| weak eff @4M base | {HISTORY['weak eff @4M base']['r2']} | {HISTORY['weak eff @4M base']['r3']} | {HISTORY['weak eff @4M base']['r4']} | {next((c['weak_efficiency'] for c in curve if c['base_pages'] == 4000000), '—')} |
 
 ## Strong scaling (same input, {lo}→{hi} cores)
 
@@ -213,6 +228,68 @@ single-number claim is withdrawn.
 
 """
 
+
+    if traffic:
+        fl = traffic["flagship"]
+        fs = traffic.get("features_store")
+        nid = traffic.get("node_id_ab")
+        doc += f"""
+## Per-page byte accounting (flagship, {traffic['pages']:,} pages, {traffic['cores']} cores)
+
+Bytes are run-deterministic on this engine (Spark UI REST totals over
+completed stages, AQE rounding only), so these compare across windows
+even when wall time can't (`tools/bytes_probe.py`):
+
+| metric | B/page |
+|---|---|
+| parquet input | {fl['input_bpp']:,} |
+| shuffle read | {fl['shuffle_read_bpp']:,} |
+| shuffle write | {fl['shuffle_write_bpp']:,} |
+
+**Where the round-5 traffic work actually landed** — the round-4 verdict
+assumed the ~600 B/row features relation rode the scoring shuffles, so
+shrinking it would cut shuffle bytes.  Measured: flagship shuffle bytes
+did NOT move, because the features relation never rides an exchange at
+all — the `repartition(n, url)` output partitioning propagates through
+the feature projection into both scoring joins (alias-aware Catalyst
+partitioning propagation), which is itself the plan property you want at
+100×.  The cut landed in the two places that DO move those bytes:
+"""
+        if fs:
+            doc += f"""
+  - **snapshot store + hydration reads**: the persisted features row
+    shrank **{fs['r4_bytes_per_row']} → {fs['r5_bytes_per_row']} B/row
+    on-disk ({fs['n_rows']:,} rows measured)** — embeddings stored as
+    int8 quantization of the unit vector (scorer normalizes by actual
+    norms; cosine exact for the stored encoding), minhash signatures
+    truncated to their low 32 bits (band keys derive from the full
+    64-bit values upstream, so no candidate pair can be lost);
+"""
+        doc += """
+  - **the minhash kernel's DRAM traffic**: the seeded-minima loop now
+    runs over ≤16Ki-shingle doc-aligned chunks with two reused scratch
+    buffers and `out=` ops, keeping the 32 seeded mixes L2-resident
+    instead of streaming ~6 full-array temporaries through DRAM per
+    hash — bit-identical results, 1.1–2.2× faster under pinned 16-way
+    concurrency in paired same-window runs (the bandwidth-bound regime
+    the weak curve runs in).
+"""
+        if nid:
+            doc += f"""
+**128-bit id re-keying: measured OFF.**  A md5-based
+`struct<h:bigint,l:bigint>` node id (`functions/hashing.py:node_id`) was
+built for the 10^12-doc design point (64-bit ids expect ~27k silent
+merge collisions there) and A/B'd through the full flagship: shuffle
+write went **{nid['baseline_sw_bpp']} → {nid['struct_sw_bpp']} B/page at
+1M** ({nid['baseline_sw_bpp_4m']} → {nid['struct_sw_bpp_4m']} at 4M;
+raw 16-byte binary keys: {nid['binary_sw_bpp']} B/page, since
+BinaryType's 100-byte defaultSize also flips the scoring joins from
+broadcast to sort-merge).  Root cause: lz4 shuffle compression squeezes
+prefix-sharing url strings to ~8–10 B/row on the wire while md5 bits
+are incompressible 16 B.  The operator stays available, unit-tested and
+documented for the corpora where it IS right (high-entropy keys,
+fixed-width state stores); the flagship keeps string keys.
+"""
 
     if capscale:
         r3, st, sa = capscale["r3"], capscale["star"], capscale["star_auto"]
@@ -349,6 +426,7 @@ def main() -> None:
         _load(os.path.join(tools, "ann_recall.json")),
         _load(os.path.join(tools, "capscale_ab.json")),
         _load(os.path.join(tools, "resume_bench.json")),
+        _load(os.path.join(tools, "traffic.json")),
     )
     with open(os.path.join(repo, "BENCH.md"), "w") as f:
         f.write(doc)

@@ -331,6 +331,25 @@ def main() -> None:
     ctl = spin_control(hi)
     print(f"spin control: {ctl}", flush=True)
 
+    # Per-point crash persistence: a full sweep is ~90 min and a killed
+    # parent used to lose every completed leg.  Each finished point is
+    # appended to scaling_partial.json; a rerun reuses those points
+    # verbatim (delete the file to force a full fresh sweep — points are
+    # only comparable within one code version / host window, so the file
+    # is removed on every successful completion).
+    partial_path = os.path.join(repo, "tools", "scaling_partial.json")
+    partial: dict[tuple[int, int], dict] = {}
+    if os.path.exists(partial_path):
+        try:
+            with open(partial_path) as f:
+                partial = {
+                    tuple(int(p) for p in k.split("_")): v
+                    for k, v in json.load(f).items()
+                }
+            print(f"resuming: {sorted(partial)} from {partial_path}", flush=True)
+        except (ValueError, OSError):
+            partial = {}
+
     # every (cores, size) point needed for the curve; lo runs the base
     # sizes, hi runs the 4x sizes, plus both run the overlap sizes so we
     # also get strong-scaling points for free
@@ -339,8 +358,17 @@ def main() -> None:
     runs: dict[tuple[int, int], dict] = {}
     for cores, sizes in ((lo, lo_sizes), (hi, hi_sizes)):
         for n in sizes:
+            if (cores, n) in partial:
+                runs[(cores, n)] = partial[(cores, n)]
+                print(f"  reusing persisted point {cores}c/{n}", flush=True)
+                continue
             repeats = max_repeats if n <= 1_000_000 else min(max_repeats, 2)
             runs[(cores, n)] = run(cores, dirs[n], repo, repeats, n)
+            partial[(cores, n)] = runs[(cores, n)]
+            with open(partial_path, "w") as f:
+                json.dump(
+                    {f"{c}_{n}": v for (c, n), v in partial.items()}, f
+                )
     times = {k: v["sec"] for k, v in runs.items()}
 
     weak_curve = []
@@ -395,6 +423,8 @@ def main() -> None:
     print(json.dumps(report))
     with open(os.path.join(repo, "tools", "scaling_results.json"), "w") as f:
         json.dump(report, f, indent=2)
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
     from tools import render_bench
 
     render_bench.main()
