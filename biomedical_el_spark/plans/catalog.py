@@ -1172,6 +1172,47 @@ def f_string_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f_node_id128",
+    """
+    WITH m AS (
+      SELECT doc_id, md5(source || '/' || CAST(doc_id AS VARCHAR)) AS x
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+        ('0x' || substr(x, 1, 8))::BIGINT AS c1,
+        ('0x' || substr(x, 9, 8))::BIGINT AS c2,
+        ('0x' || substr(x, 17, 8))::BIGINT AS c3,
+        ('0x' || substr(x, 25, 8))::BIGINT AS c4
+      FROM m
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN c1 >= 2147483648
+                THEN c1::HUGEINT * 4294967296 + c2 - 18446744073709551616::HUGEINT
+                ELSE c1::HUGEINT * 4294967296 + c2 END AS BIGINT) AS id_h,
+      CAST(CASE WHEN c3 >= 2147483648
+                THEN c3::HUGEINT * 4294967296 + c4 - 18446744073709551616::HUGEINT
+                ELSE c3::HUGEINT * 4294967296 + c4 END AS BIGINT) AS id_l
+    FROM c
+    """,
+)
+def f_node_id128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit struct-packed node id (functions/hashing.node_id) applied
+    to a synthesized document key — flattened to (id_h, id_l) so the
+    driver gate hash-checks the exact signed-bigint packing against a
+    DuckDB HUGEINT reconstruction of the same md5 halves.  The operator
+    itself is the measured-off re-keying documented in node_id's
+    docstring (kept out of run_linkage: lz4 makes prefix-sharing urls
+    cheaper on the wire than incompressible md5 bits)."""
+    docs = _t(spark, sf_dir, "documents")
+    nid = H.node_id(F.concat_ws("/", F.col("source"), F.col("doc_id")))
+    return docs.select(
+        "doc_id",
+        nid.getField("h").alias("id_h"),
+        nid.getField("l").alias("id_l"),
+    )
+
+
 # =====================================================================
 # Set operations (SO1-SO3)
 # =====================================================================
