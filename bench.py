@@ -118,8 +118,17 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
     # untimed warmup: JVM/codegen/python-worker startup shouldn't be
-    # attributed to whichever query happens to run first
+    # attributed to whichever query happens to run first.  Two plans:
+    # a small TPC-H join/agg AND one documents-chain query — the latter
+    # warms the documents scan + md5/shingle codegen shapes the whole
+    # er_* family shares (measured: without it, a bench launched right
+    # after heavy disk I/O — e.g. a prior JVM's 50 GB shuffle teardown —
+    # charges 10+s of page-cache churn to er_minhash_blocks on BOTH
+    # repeats; standalone the same query is 2.3s)
     catalog.QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    catalog.QUERIES["er_minhash_blocks"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -291,6 +291,27 @@ documented for the corpora where it IS right (high-entropy keys,
 fixed-width state stores); the flagship keeps string keys.
 """
 
+    doc += """
+## Driver-bench attribution (round-5 resolution of the r4 flagship regression)
+
+`bench.py` now runs the pinned spin probe before and after the suite and
+emits `spin_before/spin_after/spin_spread` in its JSON line, so every
+BENCH_r*.json self-documents its host window.  With that in place, the
+round-4 "regression" (flagship 21.6 s → 33.5 s) resolves as follows —
+three round-5 runs, all in annotated noisy windows (spreads 1.44–1.73):
+flagship **26.4 / 26.8 / 28.0 s**, i.e. ~20% FASTER than round 4's
+unannotated 33.5 s despite equal-or-worse host conditions, and the
+same-window scaling legs confirm it (4c/4M best 432.4 s vs round 4's
+470.1 s).  Attribution: round 4's number was host-day noise on top of
+the then-current code; the round-5 memory-traffic cut made the flagship
+genuinely faster; round 3's 21.6 s remains the quiet-day (1.02-spread)
+reference point.  One warmup fix fell out of the probe data: a bench
+launched right after heavy disk I/O (e.g. a prior JVM's 50 GB shuffle
+teardown) charged 10+ s of page-cache churn to the first timed
+documents-chain query on BOTH repeats; the untimed warmup now covers
+that chain, so first-query numbers are steady-state.
+"""
+
     if capscale:
         r3, st, sa = capscale["r3"], capscale["star"], capscale["star_auto"]
         doc += f"""
