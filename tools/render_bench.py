@@ -98,8 +98,10 @@ UDF workers, GC and shuffle threads share N cores — the budget of an
 N-core executor host.  An untimed full-pipeline warm-up precedes the
 timed run (python-worker spin-up + codegen are executor *startup* costs,
 amortized on any long-lived cluster).  Engine time excludes datagen and
-session startup; best-of-3 repeats (best-of-2 for >1M-page points), every
-repeat recorded below.  Round-4 additions, per timed run:
+session startup; best-of-N repeats with EQUAL repeat counts on the two
+legs of each weak point (3 at every point this round; extra same-window
+repeats via tools/extra_leg.py + merge_extra_leg.py), every repeat
+recorded below.  Round-4 additions, per timed run:
 
   - a **task-occupancy trace** (statusTracker at 10 Hz): occupancy
     (mean runnable-task fill of the N slots), dead fraction (zero
