@@ -59,6 +59,12 @@ from biomedical_el_spark.plans.linkage import run_linkage, LinkageConfig
 
 cores = int(sys.argv[1]); pages_dir = sys.argv[2]
 
+# A/B hooks (tools/conf_ab.py): extra session confs and an optional
+# pipeline partition-width override, env-passed so the leg protocol
+# (pinning, warmup, spin controls, occupancy sampler) stays identical
+ab_conf = json.loads(os.environ.get("SPARK_GRAFT_AB_CONF", "{}"))
+ab_npart = os.environ.get("SPARK_GRAFT_AB_NPART")
+
 
 def spin_rates(secs=2.5):
     # per-vCPU spin rates over the PINNED set (taskset already narrowed
@@ -89,7 +95,8 @@ def spin_rates(secs=2.5):
             "max_over_min": round(rates[-1] / rates[0], 3)}
 
 
-spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=2 * cores)
+spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=2 * cores,
+                  extra_conf=ab_conf)
 pages = spark.read.parquet(pages_dir)
 pages.count()  # warm the scan/file listing outside the timed region
 
@@ -134,7 +141,10 @@ def _sample():
 th = threading.Thread(target=_sample, daemon=True)
 th.start()
 t0 = time.time()
-out = run_linkage(spark, pages, cfg=LinkageConfig())
+out = run_linkage(
+    spark, pages,
+    cfg=LinkageConfig(num_partitions=int(ab_npart)) if ab_npart else LinkageConfig(),
+)
 out["clusters"].write.format("noop").mode("overwrite").save()
 dt = time.time() - t0
 stop_ev.set()
