@@ -28,17 +28,49 @@ sb = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(sb)
 
 
+def _sample_dirty(stop, out: dict) -> None:
+    """1 Hz host-wide dirty-page sampler: is the leg hitting the kernel's
+    writeback thresholds (vm.dirty_background_ratio / vm.dirty_ratio)?
+    Past the background threshold the disk competes with the leg; past
+    the hard ratio, writers throttle synchronously."""
+    import time
+
+    mx = 0
+    total = cnt = 0
+    while not stop.is_set():
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Dirty:"):
+                    kb = int(line.split()[1])
+                    mx = max(mx, kb)
+                    total += kb
+                    cnt += 1
+                    break
+        stop.wait(1.0)
+    out["dirty_max_mb"] = round(mx / 1024, 1)
+    out["dirty_mean_mb"] = round(total / max(cnt, 1) / 1024, 1)
+
+
 def run_variant(cores: int, n: int, corpus: str, spec_: dict) -> dict:
+    import threading
+
     os.environ["SPARK_GRAFT_AB_CONF"] = json.dumps(spec_.get("conf", {}))
     if spec_.get("npart"):
         os.environ["SPARK_GRAFT_AB_NPART"] = str(spec_["npart"])
     else:
         os.environ.pop("SPARK_GRAFT_AB_NPART", None)
+    stop, dirty = threading.Event(), {}
+    th = threading.Thread(target=_sample_dirty, args=(stop, dirty), daemon=True)
+    th.start()
     try:
-        return sb.run(cores, corpus, repo, 1, n)
+        res = sb.run(cores, corpus, repo, 1, n)
     finally:
+        stop.set()
+        th.join(timeout=3)
         os.environ.pop("SPARK_GRAFT_AB_CONF", None)
         os.environ.pop("SPARK_GRAFT_AB_NPART", None)
+    res.update(dirty)
+    return res
 
 
 def main() -> None:
@@ -62,6 +94,8 @@ def main() -> None:
                 "dead_frac": r["dead_frac"],
                 "spin_before": r["spin_before"]["max_over_min"],
                 "spin_after": r["spin_after"]["max_over_min"],
+                "dirty_max_mb": r.get("dirty_max_mb"),
+                "dirty_mean_mb": r.get("dirty_mean_mb"),
                 "pair_idx": i,
             }
             results.append(row)
