@@ -9,7 +9,8 @@ Usage:
   python tools/conf_ab.py <cores> <n_pages> <label_a> <conf_json_a> \
                           <label_b> <conf_json_b> [pairs]
 
-conf_json is {"conf": {...spark confs...}, "npart": int|null}.
+conf_json is {"conf": {...spark confs...}, "npart": int|null,
+"cfg": {...LinkageConfig field overrides...}}.
 Results append to tools/conf_ab_results.json.
 """
 
@@ -55,6 +56,7 @@ def run_variant(cores: int, n: int, corpus: str, spec_: dict) -> dict:
     import threading
 
     os.environ["SPARK_GRAFT_AB_CONF"] = json.dumps(spec_.get("conf", {}))
+    os.environ["SPARK_GRAFT_AB_CFG"] = json.dumps(spec_.get("cfg", {}))
     if spec_.get("npart"):
         os.environ["SPARK_GRAFT_AB_NPART"] = str(spec_["npart"])
     else:
@@ -68,6 +70,7 @@ def run_variant(cores: int, n: int, corpus: str, spec_: dict) -> dict:
         stop.set()
         th.join(timeout=3)
         os.environ.pop("SPARK_GRAFT_AB_CONF", None)
+        os.environ.pop("SPARK_GRAFT_AB_CFG", None)
         os.environ.pop("SPARK_GRAFT_AB_NPART", None)
     res.update(dirty)
     return res

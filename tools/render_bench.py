@@ -100,9 +100,9 @@ N-core executor host.  An untimed full-pipeline warm-up precedes the
 timed run (python-worker spin-up + codegen are executor *startup* costs,
 amortized on any long-lived cluster).  Engine time excludes datagen and
 session startup; best-of-N repeats with EQUAL repeat counts on the two
-legs of each weak point (3 at every point this round; extra same-window
-repeats via tools/extra_leg.py + merge_extra_leg.py), every repeat
-recorded below.  Round-4 additions, per timed run:
+legs of each weak point (3 at the smaller points, 4 on BOTH legs of the
+4M→16M gate point; extra same-window repeats via tools/extra_leg.py +
+merge_extra_leg.py), every repeat recorded below.  Round-4 additions, per timed run:
 
   - a **task-occupancy trace** (statusTracker at 10 Hz): occupancy
     (mean runnable-task fill of the N slots), dead fraction (zero
@@ -230,6 +230,22 @@ whose 3-second window fit ~1 copy of a 256 MB buffer — per-core rates
 quantized to junk.  The fixed control (64 MB buffers, page-fault
 warm-up, 5 s windows, repeats) produced the envelope above, and the
 single-number claim is withdrawn.
+
+**Shuffle-side levers tested and measured OFF at the gate leg**
+(`tools/conf_ab.py` — paired same-window 16c/16M legs under the exact
+leg protocol, with a 1 Hz host dirty-page sampler):
+
+  - **dirty-writeback throttling refuted**: /tmp is disk-backed ext4
+    with `vm.dirty_background_ratio`=10% (~12.5 GB) and
+    `vm.dirty_ratio`=20% (~25 GB), and a 16c/16M leg writes ~40 GB of
+    shuffle — but measured peak Dirty was only **7.5 GB** (lz4) /
+    9.2 GB (zstd): shuffle files are short-lived and the page cache
+    absorbs them, so the kernel never reaches even the background
+    threshold and no writer throttling occurs;
+  - **zstd shuffle codec loses 24%** (1497.5 s vs 1205.1 s lz4,
+    same-window pair, occupancy 0.956/0.962): the better ratio cannot
+    pay for its compression CPU on a box where CPU×bandwidth is the
+    binding resource.  lz4 stays.
 
 """
 

@@ -64,6 +64,9 @@ cores = int(sys.argv[1]); pages_dir = sys.argv[2]
 # (pinning, warmup, spin controls, occupancy sampler) stays identical
 ab_conf = json.loads(os.environ.get("SPARK_GRAFT_AB_CONF", "{}"))
 ab_npart = os.environ.get("SPARK_GRAFT_AB_NPART")
+# LinkageConfig field overrides (e.g. {"bands": 16, "rows_per_band": 3,
+# "num_hashes": 48}) — for pipeline-config A/Bs under the leg protocol
+ab_cfg = json.loads(os.environ.get("SPARK_GRAFT_AB_CFG", "{}"))
 
 
 def spin_rates(secs=2.5):
@@ -110,7 +113,8 @@ pages.count()  # warm the scan/file listing outside the timed region
 # estimate sees the FULL corpus under limit(), and the warm slice must
 # not fan out to a 16M-page task width.
 warm = run_linkage(
-    spark, pages.limit(20000), cfg=LinkageConfig(num_partitions=2 * cores)
+    spark, pages.limit(20000),
+    cfg=LinkageConfig(**{**ab_cfg, "num_partitions": 2 * cores}),
 )
 warm["clusters"].write.format("noop").mode("overwrite").save()
 for df in warm.values():
@@ -141,10 +145,9 @@ def _sample():
 th = threading.Thread(target=_sample, daemon=True)
 th.start()
 t0 = time.time()
-out = run_linkage(
-    spark, pages,
-    cfg=LinkageConfig(num_partitions=int(ab_npart)) if ab_npart else LinkageConfig(),
-)
+if ab_npart:
+    ab_cfg["num_partitions"] = int(ab_npart)
+out = run_linkage(spark, pages, cfg=LinkageConfig(**ab_cfg))
 out["clusters"].write.format("noop").mode("overwrite").save()
 dt = time.time() - t0
 stop_ev.set()
