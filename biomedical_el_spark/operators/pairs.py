@@ -76,6 +76,7 @@ def candidate_pairs_grouped(
     blocks: DataFrame,
     max_block_size: int | None = 64,
     escape: str | None = None,
+    single_exchange: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Pair generation via groupBy(block_key).collect_list(url) + a nested
     array transform emitting each block's C(b,2) combinations, and ONE
@@ -91,6 +92,20 @@ def candidate_pairs_grouped(
     is what makes single-pass collection safe at all; uncapped
     `max_block_size=None` keeps the single-shuffle single-pass plan and
     is only for bounded fixtures.)
+
+    single_exchange=True changes the PHYSICAL plan only: block sizes are
+    computed as a count-over-window on ONE hash exchange of the block
+    relation (WindowExec spills, so a hot key is bounded memory), and the
+    collect_list aggregation consumes the SAME sorted run with oversized
+    AND singleton blocks filtered out first — the block relation is
+    scanned once and shuffled once instead of twice, and the majority
+    singleton keys (p50 block size is 1 on web corpora) never enter the
+    collect agg's hash table.  The oversized report derives from the
+    same exchange via ReusedExchange.  Trade-offs: a per-partition sort
+    by key, and the single exchange carries full (url, key) rows where
+    the two-pass sizes exchange carried one tiny row per key.  Execution
+    knob, not semantics — results are identical; default decided by
+    measurement (see BENCH.md).
 
     escape=None: oversized blocks are EXCLUDED from pair generation and
     reported (round-3 behavior — standard ER practice for junk keys).
@@ -111,6 +126,41 @@ def candidate_pairs_grouped(
         oversized = grouped.filter(F.lit(False)).select("block_key", "block_size")
         pairs = _combo_pairs(grouped.filter(F.col("block_size") >= 2)).distinct()
         return pairs, oversized
+
+    if single_exchange:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("block_key")
+        sized = blocks.withColumn("block_size", F.count("*").over(w))
+        oversized_full = (
+            sized.filter(F.col("block_size") > max_block_size)
+            .groupBy("block_key")
+            .agg(
+                F.first("block_size").alias("block_size"),
+                F.min("url").alias("hub"),
+            )
+        )
+        oversized = oversized_full.select("block_key", "block_size")
+        grouped = (
+            # 2 <= size <= cap BEFORE the agg: bounded collect state AND
+            # no hash-table entries for the singleton majority
+            sized.filter(
+                (F.col("block_size") >= 2)
+                & (F.col("block_size") <= max_block_size)
+            )
+            .groupBy("block_key")
+            .agg(F.sort_array(F.collect_list("url")).alias("members"))
+        )
+        pairs = _combo_pairs(grouped)
+        if escape == "star":
+            star = (
+                sized.filter(F.col("block_size") > max_block_size)
+                .withColumn("hub", F.min("url").over(w))
+                .filter(F.col("url") != F.col("hub"))
+                .select(F.col("hub").alias("url_a"), F.col("url").alias("url_b"))
+            )
+            pairs = pairs.unionByName(star)
+        return pairs.distinct(), oversized
 
     sizes = blocks.groupBy("block_key").agg(
         F.count("*").alias("block_size"), F.min("url").alias("hub")

@@ -91,6 +91,13 @@ class LinkageConfig:
     # went 1561s → see BENCH.md once sized by data).  Execution detail,
     # excluded from the snapshot fingerprint.
     num_partitions: int | None = None
+    # pair-gen physical-plan knob: repartition blocks by block_key once
+    # so the sizes and collect_list aggregations share ONE exchange
+    # (ReusedExchange) instead of shuffling the block relation twice.
+    # Identical results either way; execution detail, excluded from the
+    # snapshot fingerprint.  Default decided at the 16c/16M gate leg
+    # (tools/conf_ab.py) — see BENCH.md.
+    pairs_single_exchange: bool = False
 
 
 # target pages per feature-stage task: ~10-15s of Arrow UDF work — small
@@ -157,6 +164,7 @@ def resolved_config(cfg: LinkageConfig, est: int) -> dict:
     cfg_dict = asdict(cfg)
     cfg_dict.pop("checkpoint_dir")
     cfg_dict.pop("num_partitions")
+    cfg_dict.pop("pairs_single_exchange")
     cfg_dict["hyperplanes"] = hp
     # storage encoding of the features stage (int8 vec / int32 sig since
     # r5): part of the semantics — a pre-change snapshot store must not
@@ -253,7 +261,10 @@ def run_linkage(
 
     def compute_pairs() -> DataFrame:
         cand, oversized = P.candidate_pairs_grouped(
-            blocks, cfg.max_block_size, escape=cfg.oversized_escape
+            blocks,
+            cfg.max_block_size,
+            escape=cfg.oversized_escape,
+            single_exchange=cfg.pairs_single_exchange,
         )
         if store is not None:
             store.write(oversized, "oversized_blocks", cfg_fp)  # never silent

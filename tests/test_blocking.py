@@ -198,9 +198,19 @@ def test_pair_generators_agree_on_random_block_tables(spark):
         j, _ = P.candidate_pairs(blocks, max_block_size=cap)
         g, _ = P.candidate_pairs_grouped(blocks, max_block_size=cap, escape=None)
         st, _ = P.candidate_pairs_grouped(blocks, max_block_size=cap, escape="star")
+        se, se_ov = P.candidate_pairs_grouped(
+            blocks, max_block_size=cap, escape=None, single_exchange=True
+        )
+        se_st, _ = P.candidate_pairs_grouped(
+            blocks, max_block_size=cap, escape="star", single_exchange=True
+        )
         assert {tuple(r) for r in j.collect()} == want_capped, seed
         assert {tuple(r) for r in g.collect()} == want_capped, seed
         assert {tuple(r) for r in st.collect()} == want_star, seed
+        assert {tuple(r) for r in se.collect()} == want_capped, seed
+        assert {tuple(r) for r in se_st.collect()} == want_star, seed
+        want_oversized = {k for k, us in by_key.items() if len(us) > cap}
+        assert {r.block_key for r in se_ov.collect()} == want_oversized, seed
 
 
 def test_node_id_is_md5_and_key_safe(spark):
