@@ -57,6 +57,27 @@ def candidate_pairs(
     return pairs, oversized
 
 
+def _dedup_pairs(pairs: DataFrame, min_matches: int) -> DataFrame:
+    """Collapse multi-block pair emissions, optionally gating on evidence
+    count.  min_matches=1 is plain distinct().  min_matches>=2 keeps only
+    pairs emitted by >= that many DISTINCT blocks (a pair appears at most
+    once per block, so emission multiplicity == shared-block count) — the
+    count rides the exact groupBy(url_a,url_b) exchange that distinct()
+    already pays, so the gate costs zero extra shuffle.  Versus making
+    every band stricter (rows_per_band+1), requiring two independent
+    band collisions suppresses low-similarity junk multiplicatively
+    while high-similarity true pairs (which match many bands) keep
+    near-full survival; see BENCH.md for the measured tradeoff."""
+    if min_matches <= 1:
+        return pairs.distinct()
+    return (
+        pairs.groupBy("url_a", "url_b")
+        .agg(F.count("*").alias("n_blocks"))
+        .filter(F.col("n_blocks") >= min_matches)
+        .select("url_a", "url_b")
+    )
+
+
 def _combo_pairs(grouped: DataFrame) -> DataFrame:
     """(block_key, members array) → exploded C(b,2) member combinations."""
     m = F.col("members")
@@ -77,6 +98,7 @@ def candidate_pairs_grouped(
     max_block_size: int | None = 64,
     escape: str | None = None,
     single_exchange: bool = False,
+    min_matches: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Pair generation via groupBy(block_key).collect_list(url) + a nested
     array transform emitting each block's C(b,2) combinations, and ONE
@@ -107,6 +129,12 @@ def candidate_pairs_grouped(
     knob, not semantics — results are identical; default decided by
     measurement (see BENCH.md).
 
+    min_matches: evidence-count gate at the dedup step — keep only pairs
+    sharing >= min_matches distinct blocks (see _dedup_pairs; free on
+    the shuffle distinct() already pays).  Star-escape hub pairs are
+    EXEMPT (a hub pair's evidence is one oversized block by
+    construction, so the gate would void the escape).
+
     escape=None: oversized blocks are EXCLUDED from pair generation and
     reported (round-3 behavior — standard ER practice for junk keys).
     escape="star": each oversized block also emits (hub=min url, member)
@@ -124,7 +152,9 @@ def candidate_pairs_grouped(
             F.count("*").alias("block_size"),
         )
         oversized = grouped.filter(F.lit(False)).select("block_key", "block_size")
-        pairs = _combo_pairs(grouped.filter(F.col("block_size") >= 2)).distinct()
+        pairs = _dedup_pairs(
+            _combo_pairs(grouped.filter(F.col("block_size") >= 2)), min_matches
+        )
         return pairs, oversized
 
     if single_exchange:
@@ -159,8 +189,16 @@ def candidate_pairs_grouped(
                 .filter(F.col("url") != F.col("hub"))
                 .select(F.col("hub").alias("url_a"), F.col("url").alias("url_b"))
             )
+            if min_matches > 1:
+                # gate combos first, then union the exempt hub pairs
+                return (
+                    _dedup_pairs(pairs, min_matches)
+                    .unionByName(star)
+                    .distinct(),
+                    oversized,
+                )
             pairs = pairs.unionByName(star)
-        return pairs.distinct(), oversized
+        return _dedup_pairs(pairs, min_matches), oversized
 
     sizes = blocks.groupBy("block_key").agg(
         F.count("*").alias("block_size"), F.min("url").alias("hub")
@@ -186,8 +224,14 @@ def candidate_pairs_grouped(
             .filter(F.col("url") != F.col("hub"))
             .select(F.col("hub").alias("url_a"), F.col("url").alias("url_b"))
         )
+        if min_matches > 1:
+            # gate combos first, then union the exempt hub pairs
+            return (
+                _dedup_pairs(pairs, min_matches).unionByName(star).distinct(),
+                oversized,
+            )
         pairs = pairs.unionByName(star)
-    return pairs.distinct(), oversized
+    return _dedup_pairs(pairs, min_matches), oversized
 
 
 def salted_feature_join(

@@ -73,6 +73,17 @@ class LinkageConfig:
     # for corpora where hot blocks ARE duplicate blobs (mirrors,
     # parked-domain farms) — the unit tests construct that shape.
     oversized_escape: str | None = None
+    # evidence-count gate at pair dedup: keep only candidate pairs that
+    # collide in >= this many DISTINCT blocks (bands / embedding buckets /
+    # tfidf keys all count).  Rides the groupBy exchange that distinct()
+    # already pays — zero extra shuffle.  SEMANTIC knob (changes the
+    # candidate set, hence recall): default 1 = today's any-single-block
+    # behavior; 2 suppresses low-similarity junk multiplicatively where
+    # rows_per_band+1 would also tax true pairs.  Measured tradeoff
+    # (recall / junk-pair volume / wall) in tools/banding_ab.json and
+    # BENCH.md.  Star-escape hub pairs are exempt (their evidence is one
+    # oversized block by construction).
+    min_band_matches: int = 1
     tau: float = 0.62
     jw_prefix: int = 32
     weights: dict = field(default_factory=lambda: dict(S.DEFAULT_WEIGHTS))
@@ -265,6 +276,7 @@ def run_linkage(
             cfg.max_block_size,
             escape=cfg.oversized_escape,
             single_exchange=cfg.pairs_single_exchange,
+            min_matches=cfg.min_band_matches,
         )
         if store is not None:
             store.write(oversized, "oversized_blocks", cfg_fp)  # never silent

@@ -212,6 +212,35 @@ def test_pair_generators_agree_on_random_block_tables(spark):
         want_oversized = {k for k, us in by_key.items() if len(us) > cap}
         assert {r.block_key for r in se_ov.collect()} == want_oversized, seed
 
+        # evidence-count gate: pairs sharing >= 2 distinct (capped) blocks
+        pair_blocks: dict[tuple[str, str], int] = {}
+        for k, us in by_key.items():
+            if len(us) <= cap:
+                for a, b in itertools.combinations(sorted(us), 2):
+                    pair_blocks[(a, b)] = pair_blocks.get((a, b), 0) + 1
+        want_min2 = {p for p, n in pair_blocks.items() if n >= 2}
+        m2, _ = P.candidate_pairs_grouped(
+            blocks, max_block_size=cap, escape=None, min_matches=2
+        )
+        m2se, _ = P.candidate_pairs_grouped(
+            blocks, max_block_size=cap, escape=None,
+            single_exchange=True, min_matches=2,
+        )
+        assert {tuple(r) for r in m2.collect()} == want_min2, seed
+        assert {tuple(r) for r in m2se.collect()} == want_min2, seed
+        if seed % 5 == 0:
+            # star hub pairs are exempt from the gate
+            want_min2_star = want_min2 | (want_star - want_capped)
+            m2st, _ = P.candidate_pairs_grouped(
+                blocks, max_block_size=cap, escape="star", min_matches=2
+            )
+            m2stse, _ = P.candidate_pairs_grouped(
+                blocks, max_block_size=cap, escape="star",
+                single_exchange=True, min_matches=2,
+            )
+            assert {tuple(r) for r in m2st.collect()} == want_min2_star, seed
+            assert {tuple(r) for r in m2stse.collect()} == want_min2_star, seed
+
 
 def test_node_id_is_md5_and_key_safe(spark):
     """`node_id` packs md5(url) into struct<h:bigint,l:bigint> — verify
