@@ -102,13 +102,15 @@ class LinkageConfig:
     # went 1561s → see BENCH.md once sized by data).  Execution detail,
     # excluded from the snapshot fingerprint.
     num_partitions: int | None = None
-    # pair-gen physical-plan knob: repartition blocks by block_key once
-    # so the sizes and collect_list aggregations share ONE exchange
-    # (ReusedExchange) instead of shuffling the block relation twice.
-    # Identical results either way; execution detail, excluded from the
-    # snapshot fingerprint.  Default decided at the 16c/16M gate leg
-    # (tools/conf_ab.py) — see BENCH.md.
-    pairs_single_exchange: bool = False
+    # pair-gen physical-plan knob: block sizes as count-over-window and
+    # collect_list on ONE hash exchange of the block relation instead of
+    # shuffling it twice (singletons and oversized keys filtered before
+    # any agg state).  Identical results either way; execution detail,
+    # excluded from the snapshot fingerprint.  Default ON by measurement
+    # (tools/conf_ab.py, same-window pairs): 16c/16M gate leg 1257.3 s
+    # vs 1378.4 s two-pass (−8.8%, despite the single-exchange leg
+    # drawing the noisier spin window), 16c/1M −3.9% and −7.3%.
+    pairs_single_exchange: bool = True
 
 
 # target pages per feature-stage task: ~10-15s of Arrow UDF work — small

@@ -47,6 +47,8 @@ def render(
     resume: dict | None,
     traffic: dict | None = None,
     work_growth: list | None = None,
+    conf_ab: list | None = None,
+    banding: list | None = None,
 ) -> str:
     lo, hi = report["lo_cores"], report["hi_cores"]
     factor = hi // lo
@@ -247,6 +249,69 @@ leg protocol, with a 1 Hz host dirty-page sampler):
     pay for its compression CPU on a box where CPU×bandwidth is the
     binding resource.  lz4 stays.
 
+"""
+
+    pg = [r for r in (conf_ab or []) if r["label"] in ("twopass", "singlex")]
+    if pg:
+        pgrows = "\n".join(
+            f"| {r['cores']}c / {r['n_pages']:,} | {r['label']} "
+            f"| {r['sec']} | {r['occupancy']} "
+            f"| {r['spin_before']} / {r['spin_after']} | {r['pair_idx']} |"
+            for r in pg
+        )
+        doc += f"""
+## Pair-generation exchange A/B (`pairs_single_exchange`)
+
+The two-pass capped pair-gen shuffles the block relation twice (a tiny
+sizes agg, then collect_list after anti-joining oversized keys).  The
+single-exchange plan computes sizes as a count-over-window and feeds the
+collect agg from the SAME hash exchange, filtering singleton (p50 block
+size is 1) and oversized keys before any aggregation state — one scan,
+one shuffle, identical results (property-tested against the python
+reference alongside the other generators).  Paired same-window legs
+under the exact leg protocol (`tools/conf_ab.py`):
+
+| leg | plan | wall s | occupancy | spin before/after | pair |
+|---|---|---|---|---|---|
+{pgrows}
+
+Single-exchange won every pair — including the 16c/16M gate leg by
+8.8% while drawing the NOISIER spin window of its pair — so it is the
+default (`LinkageConfig.pairs_single_exchange=True`).  The two-pass
+plan remains available and property-tested; prefer it only where a
+sort-based window over the block relation is worse than a second
+exchange (e.g. pathological key widths).
+"""
+
+    if banding:
+        brows = "\n".join(
+            f"| {b['n_pages']:,} | {b['arm']} | {b['sec']} | {b['n_pairs']:,} "
+            f"| {b['pairs_per_page']} | {b['candidate_recall']} "
+            f"| {b['recall']} | {b['f1']} |"
+            for b in banding
+        )
+        doc += f"""
+## Junk-pair suppression A/B (evidence gate vs stricter banding)
+
+The per-page work-growth section below measures distinct candidate
+pairs/page growing with corpus size — single-band junk collisions that
+ride the distinct exchange and both scoring joins before τ rejects
+them.  Two
+suppression knobs, A/B'd per corpus size in fresh pinned JVMs
+(`tools/banding_ab.py`; precision is 1.0 in every arm):
+
+  - `min2` — `min_band_matches=2`: a pair must collide in ≥2 distinct
+    blocks.  Zero extra shuffle (the evidence count rides the dedup
+    exchange).  Junk with per-band match probability p«1 is suppressed
+    ~(b·p → C(b,2)·p²) while true pairs (sharing ~4.7/16 bands) keep
+    near-full survival.
+  - `b12r3` — rows_per_band 2→3 (12 bands × 3 rows): the classic
+    stricter-banding move; taxes every pair's survival curve, junk and
+    true alike.
+
+| pages | arm | wall s | distinct pairs | pairs/page | candidate recall | link recall | F1 |
+|---|---|---|---|---|---|---|---|
+{brows}
 """
 
     if work_growth and len(work_growth) >= 2:
@@ -530,6 +595,8 @@ def main() -> None:
         _load(os.path.join(tools, "resume_bench.json")),
         _load(os.path.join(tools, "traffic.json")),
         _load(os.path.join(tools, "work_growth.json")),
+        _load(os.path.join(tools, "conf_ab_results.json")),
+        _load(os.path.join(tools, "banding_ab.json")),
     )
     with open(os.path.join(repo, "BENCH.md"), "w") as f:
         f.write(doc)
