@@ -303,8 +303,7 @@ suppression knobs, A/B'd per corpus size in fresh pinned JVMs
   - `min2` — `min_band_matches=2`: a pair must collide in ≥2 distinct
     blocks.  Zero extra shuffle (the evidence count rides the dedup
     exchange).  Junk with per-band match probability p«1 is suppressed
-    ~(b·p → C(b,2)·p²) while true pairs (sharing ~4.7/16 bands) keep
-    near-full survival.
+    ~(b·p → C(b,2)·p²).
   - `b12r3` — rows_per_band 2→3 (12 bands × 3 rows): the classic
     stricter-banding move; taxes every pair's survival curve, junk and
     true alike.
@@ -312,6 +311,19 @@ suppression knobs, A/B'd per corpus size in fresh pinned JVMs
 | pages | arm | wall s | distinct pairs | pairs/page | candidate recall | link recall | F1 |
 |---|---|---|---|---|---|---|---|
 {brows}
+
+Measured verdict: the evidence gate kills the junk GROWTH outright —
+min2's pairs/page is flat across a 4× size step while base grows — and
+it strictly dominates stricter banding (b12r3 pays ~2.4× min2's recall
+cost for the same volume cut: every band needing one more row taxes
+true pairs too, while the ≥2-blocks rule only drops pairs whose entire
+evidence was a single chance collision).  But the recall price shows
+~7% of GOLD pairs share exactly one block on this corpus, so the
+default stays `min_band_matches=1`: the F1 ≥ 0.99 gate binds before
+the throughput win.  `min2` is the right operating point for
+recall-tolerant near-dup sweeps at sizes where junk density dominates
+the pair exchange — it converts a superlinear cost term into a flat
+one at a fixed, measured recall discount.
 """
 
     if work_growth and len(work_growth) >= 2:
