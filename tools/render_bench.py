@@ -403,7 +403,18 @@ even when wall time can't (`tools/bytes_probe.py`):
 | parquet input | {fl['input_bpp']:,} |
 | shuffle read | {fl['shuffle_read_bpp']:,} |
 | shuffle write | {fl['shuffle_write_bpp']:,} |
-
+"""
+        tp = traffic.get("flagship_twopass")
+        if tp:
+            doc += f"""
+(Single-exchange pair-gen vs the prior two-pass plan: shuffle write
+{tp['shuffle_write_bpp']:,} → {fl['shuffle_write_bpp']:,} B/page
+(−{(1 - fl['shuffle_write_bpp']/tp['shuffle_write_bpp'])*100:.0f}%),
+read {tp['shuffle_read_bpp']:,} → {fl['shuffle_read_bpp']:,}, input
+{tp['input_bpp']:,} → {fl['input_bpp']:,} — the block relation now
+crosses the wire once.)
+"""
+        doc += f"""
 **Where the round-5 traffic work actually landed** — the round-4 verdict
 assumed the ~600 B/row features relation rode the scoring shuffles, so
 shrinking it would cut shuffle bytes.  Measured: flagship shuffle bytes
