@@ -167,6 +167,29 @@ def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_min2_pairs",
+    f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ({_BLOCKS_SQL}) a JOIN ({_BLOCKS_SQL}) b USING (block_key)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def er_min2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-count gated pair generation (`min_matches=2`): a pair
+    survives only if it collides in >= 2 distinct blocks.  The count
+    rides the dedup exchange the plain generator already pays (see
+    operators/pairs._dedup_pairs), so junk suppression is shuffle-free;
+    measured at 1M/4M pages it holds junk pairs/page FLAT across a 4x
+    size step where any-single-block pairs grow (BENCH.md).  Oracle:
+    same band join GROUP BY pair HAVING count(*) >= 2."""
+    blocks = er_minhash_blocks(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    cand, _ = P.candidate_pairs_grouped(blocks, max_block_size=None, min_matches=2)
+    return cand.select(F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"))
+
+
+@register(
     "er_capped_star_pairs",
     f"""
     WITH blocks AS ({_BLOCKS_SQL}),
