@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "er_minhash_blocks",
     "er_tfidf_blocks",
     "er_candidate_pairs",
+    "er_min2_pairs",
     "er_capped_star_pairs",
     "d_near_dup_pairs",
     "er_simhash",
