@@ -474,7 +474,11 @@ same-window scaling legs confirm it (4c/4M best 432.4 s vs round 4's
 470.1 s).  Attribution: round 4's number was host-day noise on top of
 the then-current code; the round-5 memory-traffic cut made the flagship
 genuinely faster; round 3's 21.6 s remains the quiet-day (1.02-spread)
-reference point.  One warmup fix fell out of the probe data: a bench
+reference point.  Late-round-5 confirmation under the single-exchange
+pair-gen default: flagship **22.77 s** in a 1.64-spread window (suite
+total 54.5 s across 21 queries, vs round 3's 44.4 s over a smaller
+suite) — the r3 quiet-day reference point is effectively recovered on
+a noisier window with a larger suite.  One warmup fix fell out of the probe data: a bench
 launched right after heavy disk I/O (e.g. a prior JVM's 50 GB shuffle
 teardown) charged 10+ s of page-cache churn to the first timed
 documents-chain query on BOTH repeats; the untimed warmup now covers
