@@ -162,15 +162,15 @@ def candidate_pairs_grouped(
 
         w = Window.partitionBy("block_key")
         sized = blocks.withColumn("block_size", F.count("*").over(w))
-        oversized_full = (
+        # no hub agg here (r5 advice): the star escape below recomputes
+        # its hub via a window over the same exchange, and the oversized
+        # report only carries (block_key, block_size) — a min(url) string
+        # aggregate would plan as a SortAggregate for nothing
+        oversized = (
             sized.filter(F.col("block_size") > max_block_size)
             .groupBy("block_key")
-            .agg(
-                F.first("block_size").alias("block_size"),
-                F.min("url").alias("hub"),
-            )
+            .agg(F.first("block_size").alias("block_size"))
         )
-        oversized = oversized_full.select("block_key", "block_size")
         grouped = (
             # 2 <= size <= cap BEFORE the agg: bounded collect state AND
             # no hash-table entries for the singleton majority

@@ -34,6 +34,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fanout(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread CPU-heavy map-side work across the session's shuffle width
+    (round-6 measurement; same pattern as run_linkage's feature-stage
+    repartition).  A small parquet fixture arrives as ONE scan split
+    (single file, single row group), so everything before the first
+    exchange — md5/shingle chains, per-pair cosine folds, token explodes
+    — runs in a single task no matter how many cores the session has
+    (measured: ann_cosine_topk 3.53 s single-task → 0.63 s fanned out at
+    sf0.1/32 cores).  Hash-repartition by the row key: deterministic (no
+    round-robin pre-sort), and a downstream groupBy/window on the same
+    key reuses the exchange, so on multi-split inputs at scale this
+    MOVES the aggregation shuffle earlier rather than adding one.
+
+    The partition count is EXPLICIT (defaultParallelism — scales with
+    the cluster, never a constant): a bare repartition(col) is an
+    AQE-coalescible exchange, and at fixture sizes the advisory
+    partition size folds it straight back to one partition, re-serializing
+    the very work this fans out (measured round 6: ann_cosine_topk 4.86 s
+    with repartition(col) vs 0.63 s with the pinned width)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -99,7 +122,7 @@ _BLOCKS_SQL = f"""
 def er_minhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding (md5 mode, 8 hashes × 4 bands) — stage-1
     blocking, oracle-checkable end to end."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     blk = B.shingle_blocks(
         docs, k_shingle=3, num_hashes=8, bands=4, rows_per_band=2,
         mode="md5", id_col="doc_id",
@@ -115,46 +138,73 @@ _PAIRS_SQL = f"""
 
 
 def _build_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    blocks = er_minhash_blocks(spark, sf_dir).withColumnRenamed("doc_id", "url")
-    cand, _ = P.candidate_pairs_grouped(blocks, max_block_size=None)
+    cand, _ = P.candidate_pairs_grouped(
+        _cached_blocks(spark, sf_dir), max_block_size=None
+    )
     return cand.select(
         F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b")
     )
 
 
-# Cache of the blocks→pairs chain shared by the er_*/d_* family: five
-# catalog queries re-derive identical shingle/minhash/pair relations; at
-# bench scale that doubles the md5-chain cost for no semantic reason.
-# Keyed by (applicationId, sf_dir); persisted.  Entries from other
-# applicationIds are evicted (unpersisted) on access so a long-lived
-# process cycling sessions can't accumulate pinned relations, and
-# `clear_pair_cache()` lets a driver sweeping many sf_dirs release
-# storage between corpora.
+# Caches of the blocks relation and the blocks→pairs chain shared by the
+# er_*/d_* family: SEVEN catalog queries re-derive identical
+# shingle/minhash relations (er_candidate/min2/capped re-run the whole
+# md5 chain just to generate pairs differently); at bench scale that
+# multiplies the md5-chain cost for no semantic reason.  Keyed by
+# (applicationId, sf_dir); persisted.  Entries from other applicationIds
+# are evicted (unpersisted) on access so a long-lived process cycling
+# sessions can't accumulate pinned relations, and `clear_pair_cache()`
+# lets a driver sweeping many sf_dirs release storage between corpora.
+# (er_minhash_blocks itself still computes the chain fresh — it is the
+# query that carries/measures the cold chain cost, per bench.py.)
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BLOCKS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_pair_cache() -> None:
-    """Unpersist and drop every cached pairs relation."""
-    for df in _PAIR_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing pinned anymore
-    _PAIR_CACHE.clear()
+    """Unpersist and drop every cached blocks/pairs relation."""
+    for cache in (_PAIR_CACHE, _BLOCKS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing pinned anymore
+        cache.clear()
 
 
-def _cached_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cached(
+    cache: dict[tuple[str, str], DataFrame],
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+) -> DataFrame:
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _PAIR_CACHE if k[0] != app_id]:
-        stale = _PAIR_CACHE.pop(k)
+    for k in [k for k in cache if k[0] != app_id]:
+        stale = cache.pop(k)
         try:
             stale.unpersist()
         except Exception:
             pass  # its SparkContext is gone; entry is just dropped
     key = (app_id, sf_dir)
-    if key not in _PAIR_CACHE:
-        _PAIR_CACHE[key] = _build_pairs(spark, sf_dir).persist()
-    return _PAIR_CACHE[key]
+    if key not in cache:
+        cache[key] = build().persist()
+    return cache[key]
+
+
+def _cached_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (url, block_key) relation of er_minhash_blocks, persisted once
+    per (session, sf_dir) — the shared upstream of every pair-generation
+    variant (plain / min2-gated / capped-star)."""
+    return _cached(
+        _BLOCKS_CACHE, spark, sf_dir,
+        lambda: er_minhash_blocks(spark, sf_dir).withColumnRenamed("doc_id", "url"),
+    )
+
+
+def _cached_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(
+        _PAIR_CACHE, spark, sf_dir, lambda: _build_pairs(spark, sf_dir)
+    )
 
 
 @register("er_candidate_pairs", _PAIRS_SQL)
@@ -184,7 +234,7 @@ def er_min2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured at 1M/4M pages it holds junk pairs/page FLAT across a 4x
     size step where any-single-block pairs grow (BENCH.md).  Oracle:
     same band join GROUP BY pair HAVING count(*) >= 2."""
-    blocks = er_minhash_blocks(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    blocks = _cached_blocks(spark, sf_dir)
     cand, _ = P.candidate_pairs_grouped(blocks, max_block_size=None, min_matches=2)
     return cand.select(F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"))
 
@@ -213,7 +263,7 @@ def er_capped_star_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair cost stays bounded (reference candidate capping analogue:
     run_e2e_span.py:883 --num_candidates).  Cap=2 at this fixture splits
     the blocks 86 combo / 4 star, exercising both branches."""
-    blocks = er_minhash_blocks(spark, sf_dir).withColumnRenamed("doc_id", "url")
+    blocks = _cached_blocks(spark, sf_dir)
     cand, _ = P.candidate_pairs_grouped(blocks, max_block_size=2, escape="star")
     return cand.select(F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"))
 
@@ -238,7 +288,7 @@ def er_tfidf_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-generation mode (utils_e2e_span.py:349-356,
     --use_tfidf_candidates) as document-frequency-weighted keys: each doc
     keyed by its 2 rarest 3-shingles."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     blk = B.tfidf_blocks(docs, k_shingle=3, top_w=2, id_col="doc_id")
     return blk.select(F.col("url").alias("doc_id"), "block_key", "df")
 
@@ -260,7 +310,7 @@ def er_tfidf_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise n-gram Jaccard verification of blocked candidates (the
     set-similarity leg of stage-2 scoring)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     # two-step: materialize tokens, then shingle (inlined tokenizer is
     # re-evaluated per shingle lambda element — measured 15x slower)
     sh = docs.select(
@@ -328,19 +378,28 @@ def er_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def er_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document via explode + two-level aggregation —
-    near-dup fingerprinting with map-side partial aggs at every level."""
-    docs = _t(spark, sf_dir, "documents")
+    """16-bit SimHash per document.  One explode to token rows, md5 once
+    per token, then a SINGLE groupBy(doc_id) with 16 codegen'd ±1 vote
+    sums (map-side partial agg; long buffers keep it a HashAggregate).
+    The previous posexplode form pushed 16 rows per token through TWO
+    aggregation exchanges (~8M rows at sf0.1); summing the votes as 16
+    columns of the same integer additions shuffles one 5k-row relation
+    and is bit-identical (exact integer arithmetic, order-free) —
+    measured 2.39 s → ~0.5 s at sf0.1 (round 6)."""
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    vote = lambda k: F.when(F.substring(F.col("h"), k, 1) >= "8", 1).otherwise(-1)  # noqa: E731
+    votes = toks.groupBy("doc_id").agg(
+        *[F.sum(vote(k)).alias(f"v{k}") for k in range(1, 17)]
     )
-    votes = toks.select(
-        "doc_id", F.posexplode(H.simhash_bits(F.col("t"), 16)).alias("k0", "vote")
-    ).groupBy("doc_id", (F.col("k0") + 1).alias("k")).agg(F.sum("vote").alias("v"))
-    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k - 1 AS INT))")
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, bit).otherwise(0)).alias("simhash")
-    )
+    simhash = F.lit(0).cast("bigint")
+    for k in range(1, 17):
+        simhash = simhash + F.when(
+            F.col(f"v{k}") > 0, F.lit(1 << (k - 1)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 @register(
@@ -359,7 +418,7 @@ def er_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (text-analysis
     op; distinguishes permuted docs unlike set-based hashes)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     tok = X.tokens(X.normalize_text(F.col("text")))
     return docs.select("doc_id", H.rolling_fingerprint(tok).alias("fingerprint"))
 
@@ -399,14 +458,17 @@ _NORM_B = "sqrt(list_sum(list_transform(range(1, 65), i -> (b.embedding[i]::DOUB
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k — the ANN baseline (reference brute-force
     all-candidates scoring, utils_e2e_span.py:417-426 + torch.topk W1).
-    Query side is broadcast; the big side streams through one codegen'd
-    projection; per-query top-k via window."""
+    Query side is broadcast; the big side is fanned out across the
+    session width (`_fanout` — the scan is one split at fixture size)
+    and streams through one projection; per-query top-k via window."""
     emb = _t(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), dbl.alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), dbl.alias("cv"))
+    c = _fanout(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), dbl.alias("cv")
+    )
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -465,6 +527,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann.py (single-probe recall@5)."""
     from ..functions.embedder import hyperplane_lsh_udf
 
+    # no _fanout here: the in-bucket rescoring runs AFTER the bucket
+    # equi-join, whose parallelism is bounded by the 2^4 bucket keys —
+    # a pre-join fan-out is an extra exchange with nothing to feed
+    # (A/B round 6: 0.88 s without vs 1.08 s with)
     emb = _t(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     key = hyperplane_lsh_udf(num_planes=4, seed=7)(F.col("embedding"))
@@ -538,7 +604,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.embedder import hyperplane_lsh_udf
 
     num_planes = 4
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fanout(_t(spark, sf_dir, "embeddings"), "vec_id")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     key = hyperplane_lsh_udf(num_planes=num_planes, seed=7)(F.col("embedding"))
     keyed = emb.select("vec_id", dbl.alias("v"), key.alias("bucket"))
@@ -635,7 +701,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window."""
     emb = _t(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vecs = emb.select("vec_id", dbl.alias("v"))
+    vecs = _fanout(emb, "vec_id").select("vec_id", dbl.alias("v"))
     cents = vecs.filter(F.col("vec_id") % 97 == 3).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
@@ -793,7 +859,7 @@ def _ivf_kmeans_parts(
     Returns (probes, cells, emb) so the recall/cost bench can count
     candidate pairs without duplicating the index construction."""
     emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.select(
+    qv = _fanout(emb, "vec_id").select(
         "vec_id",
         F.transform(
             "embedding",
@@ -912,7 +978,9 @@ def ann_label_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), dbl.alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), dbl.alias("cv"), F.col("label").alias("nl"))
+    c = _fanout(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), dbl.alias("cv"), F.col("label").alias("nl")
+    )
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1405,7 +1473,7 @@ def d_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection chain as one declarative plan."""
     from ..functions.similarity import jaccard_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select(
         "doc_id", X.tokens(X.normalize_text(F.col("text"))).alias("tk")
     ).select("doc_id", X.shingles(F.col("tk"), 3).alias("sh"))
@@ -1596,7 +1664,7 @@ def w_bio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end against the DuckDB oracle at hash level."""
     from ..operators.bio import bio_span_decode
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     ntok = docs.select(
         "doc_id", F.size(X.tokens(X.normalize_text(F.col("text")))).alias("n")
     )
@@ -1779,7 +1847,7 @@ def w_bio_decode_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle implements the same closed form end-to-end at hash level."""
     from ..operators.bio import bio_span_decode_subword
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     ntok = docs.select(
         "doc_id", F.size(X.tokens(X.normalize_text(F.col("text")))).alias("n")
     )
