@@ -191,17 +191,33 @@ def connected_components(
     # not a local-mode constant.
     intra_ckpt = n_edges > _INTRA_CKPT_MIN_EDGES
     spark.conf.set("spark.sql.shuffle.partitions", str(round_shuffle_partitions))
+    converged = False
     try:
-        for _ in range(max_iter):
+        for r in range(max_iter):
             large = _star(edges, large=True, dedup=False)
             if intra_ckpt:
                 large = ckpt(large)
             edges = ckpt(_star(large, large=False))  # cut lineage every round
-            if _is_star_forest(edges):
+            # skip the certificate after round 1: any input that is not
+            # already a star forest (i.e. any multi-hop component) needs
+            # >= 2 rounds, so the round-1 certificate can only confirm
+            # non-convergence — two wasted jobs per run.  A 1-round
+            # input pays one extra (idempotent: stars are a fixpoint of
+            # both star ops) round instead; multi-round graphs — every
+            # real link graph — save the round-1 certificate.
+            if r >= 1 and _is_star_forest(edges):
+                converged = True
                 break
-        # fixpoint: edges are (member, root) stars
         comp = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
         roots = comp.select(F.col("component").alias("node"), F.col("component"))
+        if converged:
+            # the certificate just PROVED out-degree == 1 for every src
+            # and that no dst ever appears as a src — so comp is already
+            # one row per member node and the root set is disjoint from
+            # it.  A distinct on the roots is the only dedup needed; the
+            # general groupBy-min below would re-aggregate 2x the rows
+            # with a string min (SortAggregate) for the same result.
+            return comp.union(roots.distinct())
         return (
             comp.union(roots)
             .groupBy("node")
