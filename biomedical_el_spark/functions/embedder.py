@@ -109,13 +109,23 @@ def hyperplane_bucket_sql(col: str, num_planes: int = 4, seed: int = 7, dim: int
 
 
 def hyperplane_lsh_udf(num_planes: int = 8, seed: int = 42, dim: int = DIM):
-    """Random-hyperplane LSH bucket key for array<float> embeddings
+    """Random-hyperplane LSH bucket key for numeric array embeddings
     (north_star: 'vectors bucketed by random-hyperplane LSH keys').
 
     Planes are drawn once per worker from a seeded RNG — deterministic
     across retries and executors.  Returns int key in [0, 2^num_planes).
     Replaces the reference's (dead) FAISS index (utils_e2e_span.py:8,
     265-270) with the idiomatic distributed analogue.
+
+    Input dtype note (r5 advice): the flagship passes the features
+    table's int8-QUANTIZED `vec` (round(v·127)), not the float
+    embedding.  Bucket assignment only reads projection signs, and
+    sign(q·p) can differ from sign(v·p) when the float projection is
+    within quantization noise of zero — a deterministic bucket-boundary
+    shift on near-plane vectors, equivalent to drawing slightly
+    different planes.  This is recall-channel drift only (the band
+    channel and τ-scoring still gate every pair); both the batch and
+    streaming paths quantize identically, so their buckets agree.
     """
 
     @F.pandas_udf(T.IntegerType())

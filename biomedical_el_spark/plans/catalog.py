@@ -900,6 +900,10 @@ def _ivf_kmeans_parts(
         ).select("vec_id", (-F.col("b.ncid")).alias("cid"))
 
     for _ in range(2):  # Lloyd: assign -> integer-mean update
+        # (A 64-wide sum-per-component single-aggregation variant was
+        # built and A/B'd in round 6: 1.3-1.8 s posexplode form vs
+        # 2.8-3.9 s wide form in the same session — the 64-column agg
+        # loses despite one fewer exchange; the explode form kept.)
         memb = assign(cents).join(qv, "vec_id")
         upd = (
             memb.select("cid", F.posexplode("q").alias("i", "x"))
